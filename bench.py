@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds over the headline set (lower is better). The
+per-query dict carries each query's seconds. The frontier-throughput /
+N-vs-4N scaling evidence lives in bench/scaling_bench.py (writes
+BENCH_SCALING.md) since it needs two SparkSessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "top3_orders_per_customer",
+    "graph_two_hop",
+    # crawl operators
+    "url_canonicalize",
+    "url_fingerprint",
+    "crawl_schedule_dedup",
+    "politeness_schedule",
+    # training-data ops
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "quality_score",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "event_sessions",
+    "entity_match_tiers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from crunchy_spark.queries import QUERIES
+    from crunchy_spark.session import get_spark
+
+    spark = get_spark(app_name="crunchy_bench")
+    # warm the JVM/Arrow path so per-query numbers measure the plan, not startup
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

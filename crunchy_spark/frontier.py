@@ -1,0 +1,104 @@
+"""Frontier construction + politeness-ranked selection.
+
+Reimplements (Spark-first, not a port):
+- 3-level queue priority: spider(0) > tracxn(1) > crunchbase(2)
+  (reference: rabbitmq/scheduler.py:51-52,136-162 — the 60-idle-poll
+  starvation gate is a wall-clock artifact of the serial consumer; its
+  order semantics are exactly "spider exhausts first, then tracxn, then
+  crunchbase, FIFO within each", which is what queue_rank+seq encodes)
+- FIFO within queue: seq = arrival index (rabbitmq/queue.py:64-76)
+- per-host politeness: DOWNLOAD_DELAY / CONCURRENT_REQUESTS
+  (settings.py:122-130) becomes a per-round per-host budget enforced by
+  two-phase salted window ranking (skew-safe: phase 1 prunes within
+  (host, salt) so no single window sees the mega-host's full partition,
+  phase 2 ranks the <= salt_k*budget survivors exactly)
+- site validation with discard (rabbitmq/queue.py:131-168)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .urlnorm import with_url_identity
+
+QUEUE_RANK = {"spider": 0, "tracxn": 1, "crunchbase": 2}
+
+
+def queue_rank_col(site, is_continuation):
+    return (
+        F.when(is_continuation, F.lit(0))
+        .when(site == "tracxn", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def image_id_col(sha_int, n_images: int):
+    """Deterministic URL -> payload mapping (fetch-sim join key)."""
+    return F.format_string("img%010d", F.pmod(sha_int, F.lit(n_images)))
+
+
+def seeds_to_frontier(seeds: DataFrame, n_images: int) -> DataFrame:
+    """Canonicalize, dedup (keep first arrival), route, discard non-site
+    URLs (reference: queue.py:155-168 validates URL against queue site)."""
+    s = with_url_identity(seeds, "url")
+    # first arrival wins — FIFO dedup (reference Mongo-uniqueness analog)
+    w = Window.partitionBy("sha_int").orderBy("seq")
+    s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    s = s.filter(F.col("site") != "other")  # discarded at enqueue
+    out = (
+        s.withColumn("queue_rank", queue_rank_col(F.col("site"), F.lit(False)))
+        .withColumn("image_id", image_id_col(F.col("sha_int"), n_images))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("round_fetched", F.lit(None).cast("int"))
+        .withColumn("fetch_seq", F.lit(None).cast("long"))
+        .withColumn("reason", F.lit(None).cast("string"))
+        .withColumn("priority", F.coalesce(F.col("priority"), F.lit(0.0)))
+    )
+    return out.select([f.name for f in schemas.FRONTIER.fields])
+
+
+def select_fetchable(
+    pending: DataFrame,
+    host_policy: DataFrame,
+    round_seconds: float = 5.0,
+    salt_k: int = 16,
+    global_budget: int | None = None,
+) -> DataFrame:
+    """The scheduler pop, as one declarative plan.
+
+    Per-host budget = floor(round_seconds / crawl_delay) * max_concurrent
+    (>= 1). Two-phase salted ranking keeps the mega-host window bounded:
+    phase 1 ranks within (host, salt) and keeps <= budget per salt;
+    phase 2 ranks the survivors within host and keeps exactly budget.
+    A row in the host's true top-budget is in its salt's top-budget, so
+    phase 2 is exact.
+
+    ``global_budget`` additionally caps the whole round by (queue_rank,
+    seq) — reference-parity mode (the serial crawler is global_budget=1).
+    """
+    j = pending.join(F.broadcast(host_policy), "host", "left")
+    j = j.filter(F.coalesce(F.col("robots_allow"), F.lit(True)))
+    budget = (
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(round_seconds) / F.coalesce(F.col("crawl_delay_s"), F.lit(5.0))),
+        )
+        * F.coalesce(F.col("max_concurrent"), F.lit(1))
+    ).cast("int")
+    j = j.withColumn("_budget", budget)
+    j = j.withColumn("_salt", F.pmod(F.col("sha_int"), F.lit(salt_k)))
+    w1 = Window.partitionBy("host", "_salt").orderBy("queue_rank", "seq")
+    j = j.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("_budget"))
+    w2 = Window.partitionBy("host").orderBy("queue_rank", "seq")
+    j = j.withColumn("_rn2", F.row_number().over(w2)).filter(F.col("_rn2") <= F.col("_budget"))
+    if global_budget is not None:
+        wg = Window.orderBy("queue_rank", "seq")
+        j = j.withColumn("_rng", F.row_number().over(wg)).filter(
+            F.col("_rng") <= F.lit(global_budget)
+        )
+    return j.drop("_budget", "_salt", "_rn1", "_rn2", "_rng", "crawl_delay_s",
+                  "max_concurrent", "robots_allow")

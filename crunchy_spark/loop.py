@@ -1,0 +1,280 @@
+"""The crawl loop: deterministic frontier rounds with snapshot commits.
+
+One round = one Catalyst plan over (frontier, seen, host_policy, images,
+page_meta) ending in an atomic multi-table snapshot commit:
+
+  read frontier snapshot
+    -> politeness-ranked selection (frontier.select_fetchable)
+    -> fetch-sim join against images (fetchsim.fetch_payloads)
+    -> Arrow parse (parse.parse_fetched)
+    -> item MERGE + seen MERGE + frontier append/status-flip + lineage
+    -> snapshot commit
+
+Reference lifecycle being re-expressed: SURVEY.md §3.1 / the serial
+Scrapy scheduler loop (rabbitmq/scheduler.py:136-169) with ack/nack
+status feedback (pipelines.py:174-206) and consumer-side upsert+expansion
+(gather_data_from_crunchy.py:88-192, similar_companies.py:13-77).
+
+Crawl-order parity: order is a *data property* — fetch_seq assigned by
+(round, queue_rank, seq) — so any parallelism yields the same order. With
+global_budget=1 the engine reproduces the reference's serial pop order
+exactly (see refsim.py + tests/test_parity.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .bloom import build_bloom, filter_unseen, merge_blooms
+from .datagen import INTERESTED_INDUSTRIES, fixture_meta
+from .expand import assign_seq, continuation_rows, expansion_candidates
+from .fetchsim import fetch_payloads
+from .frontier import seeds_to_frontier, select_fetchable
+from .parse import parse_fetched
+from .snapshot import SnapshotStore
+
+ITEM_COLS = [f.name for f in schemas.ITEM.fields]
+FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+@dataclass
+class CrawlConfig:
+    round_seconds: float = 5.0
+    salt_k: int = 16
+    max_attempts: int = 3
+    global_budget: int | None = None  # reference-parity mode when =1
+    max_rounds: int = 10_000
+    use_bloom: bool = True
+    interested: list[str] = field(default_factory=lambda: list(INTERESTED_INDUSTRIES))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        fixtures_dir: str,
+        conf: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.conf = conf or CrawlConfig()
+        self.fixtures_dir = fixtures_dir
+        self.n_images = int(fixture_meta(fixtures_dir)["n_images"])
+        self.images = spark.read.parquet(os.path.join(fixtures_dir, "images.parquet"))
+        self.page_meta = spark.read.parquet(os.path.join(fixtures_dir, "page_meta.parquet"))
+        self.host_policy = spark.read.parquet(
+            os.path.join(fixtures_dir, "host_policy.parquet")
+        )
+
+    # ------------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> int:
+        """Seed ingestion (reference: POST /createCrawl, api/views.py:19-42)."""
+        frontier = seeds_to_frontier(seeds, self.n_images)
+        seen = frontier.select(
+            "url_sha1", "sha_int", "url_canon", "host",
+            F.col("round_added"),
+        )
+        max_seq = frontier.agg(F.max("seq")).first()[0] or 0
+        empty_items = self.spark.createDataFrame([], schemas.ITEM)
+        empty_lineage = self.spark.createDataFrame([], schemas.LINEAGE)
+        empty_fetch_log = self.spark.createDataFrame([], schemas.FETCH_LOG)
+        return self.store.commit(
+            {
+                "frontier": frontier,
+                "seen": seen,
+                "bloom": build_bloom(seen),
+                "items": empty_items,
+                "lineage": empty_lineage,
+                "fetch_log": empty_fetch_log,
+            },
+            meta={"round": 0, "max_seq": int(max_seq), "fetch_seq": 0},
+        )
+
+    # ------------------------------------------------------------------
+    def run_round(self) -> dict | None:
+        """Run one round; returns stats, or None when the frontier is dry."""
+        m = self.store.manifest()
+        round_id = int(m["meta"]["round"]) + 1
+        base_seq = int(m["meta"]["max_seq"])
+        base_fetch_seq = int(m["meta"]["fetch_seq"])
+        frontier = self.store.load(self.spark, "frontier")
+        seen = self.store.load(self.spark, "seen")
+        bloom = self.store.load(self.spark, "bloom")
+
+        pending = frontier.filter(F.col("status") == "pending")
+        selected = select_fetchable(
+            pending,
+            self.host_policy,
+            round_seconds=self.conf.round_seconds,
+            salt_k=self.conf.salt_k,
+            global_budget=self.conf.global_budget,
+        )
+        # the crawl order, assigned deterministically (W2: FIFO via seq)
+        worder = Window.orderBy("queue_rank", "seq")
+        selected = selected.withColumn(
+            "fetch_seq", F.row_number().over(worder) + F.lit(base_fetch_seq)
+        ).localCheckpoint()
+        n_selected = selected.count()
+        if n_selected == 0:
+            return None
+
+        payloads = fetch_payloads(
+            selected, self.images, self.page_meta, max_attempts=self.conf.max_attempts
+        )
+        fetched = payloads.filter(F.col("fetch_status") == "fetched")
+        parsed = parse_fetched(fetched, round_id).localCheckpoint()
+
+        # -- items sink (S8/S11/S12: drop internals; MERGE-by-URL happens at
+        # read time over append segments, see items())
+        from .parse import is_continuation_col
+
+        new_items = parsed.filter(~is_continuation_col()).select(*ITEM_COLS)
+
+        # -- frontier expansion (anti-join dedup against everything enqueued)
+        cont = continuation_rows(parsed, round_id, self.n_images)
+        expn = expansion_candidates(
+            parsed, round_id, self.n_images, self.conf.interested
+        )
+        cand = cont.unionByName(expn)
+        wdedup = Window.partitionBy("sha_int").orderBy("_parent_order", "_pos")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(wdedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        fresh = filter_unseen(cand, seen, bloom=bloom, use_bloom=self.conf.use_bloom)
+        new_rows = assign_seq(fresh, base_seq).localCheckpoint()
+        n_new = new_rows.count()
+        max_seq = base_seq + n_new
+        bloom_out = (
+            merge_blooms(bloom, build_bloom(new_rows)) if n_new else bloom
+        )
+
+        # -- frontier status flip (S9/S10: ack/nack as a column update)
+        upd = payloads.select(
+            F.col("sha_int").alias("u_sha"),
+            F.col("fetch_status"),
+            F.col("fetch_reason"),
+            F.col("fetch_seq").alias("u_fetch_seq"),
+        )
+        fr = frontier.join(upd, frontier["sha_int"] == upd["u_sha"], "left")
+        fr = (
+            fr.withColumn(
+                "status",
+                F.when(F.col("fetch_status") == "fetched", F.lit("fetched"))
+                .when(F.col("fetch_status") == "deferred", F.lit("pending"))
+                .when(F.col("fetch_status") == "failed", F.lit("failed"))
+                .otherwise(F.col("status")),
+            )
+            .withColumn(
+                "attempt",
+                F.when(
+                    F.col("fetch_status").isin("deferred", "failed"),
+                    F.col("attempt") + 1,
+                ).otherwise(F.col("attempt")),
+            )
+            .withColumn(
+                "round_fetched",
+                F.when(F.col("fetch_status") == "fetched", F.lit(round_id)).otherwise(
+                    F.col("round_fetched")
+                ),
+            )
+            .withColumn(
+                "fetch_seq",
+                F.when(F.col("fetch_status") == "fetched", F.col("u_fetch_seq")).otherwise(
+                    F.col("fetch_seq")
+                ),
+            )
+            .withColumn("reason", F.coalesce(F.col("fetch_reason"), F.col("reason")))
+            .drop("u_sha", "fetch_status", "fetch_reason", "u_fetch_seq")
+        )
+        frontier_out = fr.select(*FRONTIER_COLS).unionByName(new_rows)
+
+        # -- seen delta (D1/D2: enqueue-time dedup identity)
+        seen_new = new_rows.select(
+            "url_sha1", "sha_int", "url_canon", "host", "round_added"
+        )
+
+        # -- lineage counters (A9 / north_rule): per-partition status counts
+        lineage_new = (
+            payloads.groupBy(
+                F.spark_partition_id().alias("partition_id"),
+                "site",
+                F.col("fetch_status").alias("status"),
+            )
+            .agg(F.count("*").alias("n"))
+            .withColumn("round", F.lit(round_id))
+            .select(*[f.name for f in schemas.LINEAGE.fields])
+        )
+
+        # -- fetch log (every pop, in order — the parity artifact)
+        log_new = payloads.select(
+            "fetch_seq",
+            F.lit(round_id).alias("round"),
+            "url_canon",
+            "url_sha1",
+            "site",
+            "host",
+            F.col("fetch_status").alias("status"),
+            "attempt",
+        )
+
+        self.store.commit(
+            tables={"frontier": frontier_out, "bloom": bloom_out},
+            appends={
+                "seen": seen_new,
+                "items": new_items,
+                "lineage": lineage_new,
+                "fetch_log": log_new,
+            },
+            meta={
+                "round": round_id,
+                "max_seq": int(max_seq),
+                "fetch_seq": int(base_fetch_seq + n_selected),
+            },
+        )
+        return {
+            "round": round_id,
+            "selected": n_selected,
+            "new_urls": n_new,
+        }
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> list[dict]:
+        """Iterate rounds until the frontier is dry (T3 idle-loop analog)."""
+        stats = []
+        limit = max_rounds if max_rounds is not None else self.conf.max_rounds
+        for _ in range(limit):
+            s = self.run_round()
+            if s is None:
+                break
+            stats.append(s)
+        return stats
+
+    # ------------------------------------------------------------------
+    def crawl_order(self) -> list[str]:
+        """Canonical URLs in pop order, retries included (parity artifact)."""
+        log = self.store.load(self.spark, "fetch_log")
+        rows = log.orderBy("fetch_seq").select("url_canon").collect()
+        return [r[0] for r in rows]
+
+    def items(self) -> DataFrame:
+        """Item table with MERGE-by-canonical-URL semantics (latest round
+        wins — reference: update_or_create keyed on URL,
+        gather_data_from_crunchy.py:144-146)."""
+        raw = self.store.load(self.spark, "items")
+        wi = Window.partitionBy("url_sha1").orderBy(F.desc("round_fetched"))
+        return raw.withColumn("_rn", F.row_number().over(wi)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+    def seen_set(self) -> list[str]:
+        """Sorted canonical-URL SHA-1 list (the parity seen-set artifact)."""
+        s = self.store.load(self.spark, "seen")
+        return [r[0] for r in s.select("url_sha1").orderBy("url_sha1").collect()]

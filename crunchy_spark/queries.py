@@ -1,0 +1,1651 @@
+"""Query registry: every SURVEY.md §2 operator re-expressed over the
+driver's TPC-H-ish tables, each with a DuckDB oracle twin.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash at sf=0.01):
+- every computed column aliased identically in Spark and SQL
+- doubles rounded (2 or 4 dp) in BOTH engines
+- timestamps compared as epoch seconds (TZ-proof)
+- arrays never output directly (joined to strings)
+- md5-based int64 fingerprints (DuckDB 1.0 lacks sha1; the engine's
+  crawl path itself uses SHA-1, see urlnorm.py)
+
+Reference operators covered per query are cited inline (file:line of
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import scalars
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5_int(col):
+    """Cross-engine int64 content hash (F19 analog; engine uses sha1)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MD5_INT_SQL = "(('0x' || substr(md5({c}), 1, 15))::UBIGINT)::BIGINT"
+
+
+# ===========================================================================
+# A. Relational core (P/A/J/W/O/U operators of SURVEY.md §2)
+# ===========================================================================
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE epoch(l_shipdate) <= 904694400
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """A1/A4-style hash agg with partial+final combine (TPC-H Q1 shape).
+    Ref analog: facet counts public/views.py:294-346."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.unix_timestamp("l_shipdate") <= 904694400)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_orders",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, epoch(o.o_orderdate)::BIGINT AS order_epoch,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1, 2)
+    SELECT * FROM rev ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    """J1-style equi joins + agg + deterministic top-k (Q3 shape).
+    Broadcast of the dimension side is Catalyst-automatic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.unix_timestamp("o_orderdate").alias("order_epoch"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_revenue(spark, sf_dir):
+    """J9 analog: chained multi-hop equi self/dimension joins
+    (knowledgeGraph/db.py:76-96 3-hop Cypher)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "event_facets",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_facets(spark, sf_dir):
+    """A1: facet count (Mongo $unwind/$group pipeline,
+    public/views.py:294-346)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """W4/W6: top-k per group (candidate cap [:20] resolve_entities.py:155-157,
+    best-match argmax :134-164)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "orders_page",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def orders_page(spark, sf_dir):
+    """W5/O1: sorted pagination, page_size 100 (public/views.py:25-29)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def customers_without_orders(spark, sf_dir):
+    """D2/J3: left_anti existence dedup (similar_companies.py:49-68)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "customers_with_orders_by_nation",
+    """
+    SELECT c_nationkey AS nationkey, count(*) AS n_customers
+    FROM customer c WHERE EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def customers_with_orders_by_nation(spark, sf_dir):
+    """J3: left_semi existence flag (gather_data_from_tracxy.py:113-119)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "nation_golden_merge",
+    """
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust,
+                       round(avg(c_acctbal), 4) AS cust_bal FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp,
+                       round(avg(s_acctbal), 4) AS supp_bal FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0)  AS n_cust,
+           coalesce(n_supp, 0)  AS n_supp,
+           coalesce(cust_bal, supp_bal) AS preferred_bal
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def nation_golden_merge(spark, sf_dir):
+    """J6: golden-record full-outer merge with per-field source priority
+    (entity_resolver.py:225-301 SOURCE_PRIORITY coalesce)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 4).alias("cust_bal"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"), F.round(F.avg("s_acctbal"), 4).alias("supp_bal"))
+    )
+    j = c.join(s, c.nk == s.snk, "full_outer")
+    return j.select(
+        F.coalesce("nk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("cust_bal", "supp_bal").alias("preferred_bal"),
+    )
+
+
+@register(
+    "price_band_filter",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE coalesce(o_totalprice, 0) >= 50000 AND coalesce(o_totalprice, 0) <= 150000
+    GROUP BY 1
+    """,
+)
+def price_band_filter(spark, sf_dir):
+    """P6: numeric range predicate over coalesced columns
+    (public/views.py:136-154 funding range)."""
+    o = _t(spark, sf_dir, "orders")
+    p = F.coalesce(F.col("o_totalprice"), F.lit(0))
+    return (
+        o.filter((p >= 50000) & (p <= 150000))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "regex_filter_docs",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE regexp_matches(lower(text), 'hash.*join|scan.*filter')
+    GROUP BY lang
+    """,
+)
+def regex_filter_docs(spark, sf_dir):
+    """P4: case-insensitive regex OR filter (Mongo $regex,
+    public/views.py:98-165)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.lower("text").rlike("hash.*join|scan.*filter"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "distinct_langs",
+    "SELECT DISTINCT lang FROM documents",
+)
+def distinct_langs(spark, sf_dir):
+    """A3: distinct + sort (public/views.py:244-265)."""
+    return _t(spark, sf_dir, "documents").select("lang").distinct()
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def first_event_per_user(spark, sf_dir):
+    """W2: FIFO-within-partition ordering (queue.py:64-76)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+@register(
+    "sources_except_en",
+    """
+    SELECT source FROM documents
+    EXCEPT
+    SELECT source FROM documents WHERE lang = 'en'
+    """,
+)
+def sources_except_en(spark, sf_dir):
+    """U3: set difference (exclude-list, public/views.py:256-263)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("source").subtract(
+        d.filter(F.col("lang") == "en").select("source")
+    )
+
+
+@register(
+    "token_overlap_gate",
+    """
+    SELECT source, count(*) AS n
+    FROM documents
+    WHERE list_has_any(string_split_regex(lower(text), '\\s+'), ['spark', 'shuffle'])
+    GROUP BY source
+    """,
+)
+def token_overlap_gate(spark, sf_dir):
+    """P10/U1: arrays_overlap interest gate (similar_companies.py:29-33)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    return (
+        d.filter(F.arrays_overlap(toks, F.array(F.lit("spark"), F.lit("shuffle"))))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "token_jaccard_vs_probe",
+    """
+    SELECT doc_id,
+           round(len(list_intersect(toks, ['hash','join','scan','filter','sort']))::DOUBLE
+                 / len(list_distinct(list_concat(toks, ['hash','join','scan','filter','sort']))), 4)
+           AS jac
+    FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+          FROM documents)
+    """,
+)
+def token_jaccard_vs_probe(spark, sf_dir):
+    """U2: Jaccard via array_intersect/array_union
+    (founder jaccard, entity_resolver.py:113-122)."""
+    d = _t(spark, sf_dir, "documents")
+    probe = F.array(*[F.lit(t) for t in ["hash", "join", "scan", "filter", "sort"]])
+    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
+    jac = F.round(
+        F.size(F.array_intersect(toks, probe)).cast("double")
+        / F.size(F.array_union(toks, probe)),
+        4,
+    )
+    return d.select("doc_id", jac.alias("jac"))
+
+
+# ===========================================================================
+# B. Crawl-domain scalar/scheduler operators over synthesized columns
+#    (both engines synthesize the identical column, then apply the op)
+# ===========================================================================
+_NOISE_SQL = "['/', '?utm=x', '#frag', ''][(c_custkey % 4)::INT + 1]"
+_HOSTV_SQL = "['WWW.Acme', 'acme', 'Sub.Acme'][(c_custkey % 3)::INT + 1]"
+_URL_SQL = (
+    f"'https://' || {_HOSTV_SQL} || (c_custkey % 50)::VARCHAR || '.com/org/c' "
+    f"|| c_custkey::VARCHAR || {_NOISE_SQL}"
+)
+_CANON_SQL = (
+    "rtrim(regexp_replace(regexp_replace(lower({u}), '[?#].*$', ''),"
+    " '://www\\.', '://'), '/')"
+)
+
+
+def _synth_url_col():
+    noise = F.element_at(
+        F.array(F.lit("/"), F.lit("?utm=x"), F.lit("#frag"), F.lit("")),
+        (F.col("c_custkey") % 4 + 1).cast("int"),
+    )
+    hostv = F.element_at(
+        F.array(F.lit("WWW.Acme"), F.lit("acme"), F.lit("Sub.Acme")),
+        (F.col("c_custkey") % 3 + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"), hostv, (F.col("c_custkey") % 50).cast("string"),
+        F.lit(".com/org/c"), F.col("c_custkey").cast("string"), noise,
+    )
+
+
+@register(
+    "url_canonicalize",
+    f"""
+    WITH u AS (SELECT c_custkey, {_URL_SQL} AS url FROM customer)
+    SELECT c_custkey, url, {_CANON_SQL.format(u='url')} AS url_canon FROM u
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    """D6/D7: RFC-3986-flavored canonicalization via the engine's
+    vectorized pandas UDF (TracxnDataParser.py:146-176, discovery.py:122-131);
+    oracle mirrors the semantics in pure SQL."""
+    from .urlnorm import canonicalize_udf
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _synth_url_col().alias("url"))
+    return c.withColumn("url_canon", canonicalize_udf(F.col("url")))
+
+
+@register(
+    "url_fingerprint",
+    f"""
+    WITH u AS (SELECT c_custkey, {_URL_SQL} AS url FROM customer),
+         cn AS (SELECT c_custkey, {_CANON_SQL.format(u='url')} AS url_canon FROM u)
+    SELECT c_custkey, url_canon, {_MD5_INT_SQL.format(c='url_canon')} AS fp
+    FROM cn
+    """,
+)
+def url_fingerprint(spark, sf_dir):
+    """F19/D1: fingerprint over canonical URL as int64 partition key
+    (dupefilter.py:35-44; engine path uses SHA-1, oracle-compatible md5 here)."""
+    from .urlnorm import canonicalize_udf
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _synth_url_col().alias("url"))
+    c = c.withColumn("url_canon", canonicalize_udf(F.col("url")))
+    return c.select("c_custkey", "url_canon", _md5_int(F.col("url_canon")).alias("fp"))
+
+
+_FUNDING_SQL = (
+    "['$1.5M','₹1M','£179K','₩8B','CN¥13M','CA$3.9M','CZK13M','SEK30M','—','']"
+    "[(o_orderkey % 10)::INT + 1]"
+)
+
+
+@register(
+    "currency_parse",
+    f"""
+    WITH f AS (SELECT o_orderkey, {_FUNDING_SQL} AS funding FROM orders),
+    p AS (SELECT o_orderkey, funding,
+        regexp_extract(trim(funding), '^(CN¥|CA\\$|[A-Z]{{3}}|[€£₹₩$¥])', 1) AS pre,
+        regexp_extract(trim(funding), '([0-9]+(?:\\.[0-9]+)?)', 1) AS amt_s,
+        regexp_extract(trim(funding), '([KMB])\\s*$', 1) AS suf FROM f),
+    q AS (SELECT o_orderkey, funding, amt_s, suf,
+        CASE pre WHEN 'CN¥' THEN 'CNY' WHEN 'CA$' THEN 'CAD' WHEN '$' THEN 'USD'
+                 WHEN '₹' THEN 'INR' WHEN '£' THEN 'GBP' WHEN '₩' THEN 'KRW'
+                 WHEN '¥' THEN 'JPY' WHEN '€' THEN 'EUR'
+                 ELSE CASE WHEN length(pre)=3 THEN pre END END AS code FROM p)
+    SELECT o_orderkey, funding, code,
+        round((CASE WHEN amt_s='' THEN NULL ELSE amt_s::DOUBLE END)
+          * (CASE suf WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6 WHEN 'B' THEN 1e9 ELSE 1.0 END)
+          / (CASE code WHEN 'USD' THEN 1.0 WHEN 'EUR' THEN 0.92 WHEN 'GBP' THEN 0.79
+                       WHEN 'INR' THEN 83.1 WHEN 'KRW' THEN 1330.0 WHEN 'CNY' THEN 7.2
+                       WHEN 'CAD' THEN 1.36 WHEN 'CZK' THEN 23.0 WHEN 'SEK' THEN 10.4
+                       WHEN 'JPY' THEN 150.0 END), 2) AS funding_usd
+    FROM q
+    """,
+)
+def currency_parse(spark, sf_dir):
+    """F2: currency symbol/code/multiplier parse + pinned-rate conversion
+    (utils/Currency.py:67-91, gather_data_from_crunchy.py:41-86)."""
+    from .datagen import FUNDING_CORPUS
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.element_at(
+            F.array(*[F.lit(x) for x in FUNDING_CORPUS]),
+            (F.col("o_orderkey") % 10 + 1).cast("int"),
+        ).alias("funding"),
+    )
+    return o.select(
+        "o_orderkey",
+        "funding",
+        scalars.currency_code_col(F.col("funding")).alias("code"),
+        scalars.funding_usd_col(F.col("funding")).alias("funding_usd"),
+    )
+
+
+_FOUNDED_SQL = (
+    "['2018','Aug2015','Jan1,2015','Nov30,2016','','garbage'][(o_orderkey % 6)::INT + 1]"
+)
+
+
+@register(
+    "founded_parse",
+    f"""
+    WITH f AS (SELECT o_orderkey, {_FOUNDED_SQL} AS founded FROM orders)
+    SELECT o_orderkey, founded,
+      strftime(coalesce(
+        try_strptime(founded, '%b%d,%Y'),
+        try_strptime(founded, '%b%Y'),
+        CASE WHEN regexp_matches(founded, '^(19|20)\\d{{2}}$')
+             THEN try_strptime(founded, '%Y') END), '%Y-%m-%d') AS founded_iso
+    FROM f
+    """,
+)
+def founded_parse(spark, sf_dir):
+    """F3: multi-format founded-date parse, None on garbage
+    (utils/Founded.py:7-35)."""
+    from .datagen import FOUNDED_CORPUS
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.element_at(
+            F.array(*[F.lit(x) for x in FOUNDED_CORPUS]),
+            (F.col("o_orderkey") % 6 + 1).cast("int"),
+        ).alias("founded"),
+    )
+    return o.select(
+        "o_orderkey",
+        "founded",
+        F.date_format(scalars.founded_date_col(F.col("founded")), "yyyy-MM-dd").alias(
+            "founded_iso"
+        ),
+    )
+
+
+@register(
+    "year_extract",
+    """
+    WITH t AS (SELECT c_custkey,
+        'Founded in ' || (1990 + (c_custkey % 40))::VARCHAR || ' by team.' AS blurb
+        FROM customer)
+    SELECT c_custkey, regexp_extract(blurb, '\\b((19|20)\\d{2})\\b', 1)::INT AS yr FROM t
+    """,
+)
+def year_extract(spark, sf_dir):
+    """F4: year extraction regex (entity_resolver.py:136-147)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("Founded in "),
+            (F.lit(1990) + F.col("c_custkey") % 40).cast("string"),
+            F.lit(" by team."),
+        ).alias("blurb"),
+    )
+    return c.select("c_custkey", scalars.founded_year_col(F.col("blurb")).alias("yr"))
+
+
+_LEGAL_SQL = "['inc','incorporated','llc','ltd','limited','corp','corporation','co','company','gmbh','sa','plc','ag','bv','pvt','pte','srl']"
+
+
+@register(
+    "name_normalize",
+    f"""
+    WITH t AS (SELECT c_custkey,
+        ['Acme','Beta Labs','Gamma'][(c_custkey % 3)::INT + 1] || ' ' ||
+        ['Inc.','LLC','Ltd','Corp','and Co'][(c_custkey % 5)::INT + 1] AS name
+        FROM customer)
+    SELECT c_custkey, name,
+      array_to_string(list_filter(
+        string_split_regex(trim(regexp_replace(lower(name), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+        t -> t <> '' AND NOT list_contains({_LEGAL_SQL}, t)), ' ') AS norm
+    FROM t
+    """,
+)
+def name_normalize(spark, sf_dir):
+    """F5: lowercase + punctuation strip + legal-suffix drop
+    (entity_resolver.py:27-31,53-73)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.element_at(
+                F.array(F.lit("Acme"), F.lit("Beta Labs"), F.lit("Gamma")),
+                (F.col("c_custkey") % 3 + 1).cast("int"),
+            ),
+            F.lit(" "),
+            F.element_at(
+                F.array(F.lit("Inc."), F.lit("LLC"), F.lit("Ltd"), F.lit("Corp"), F.lit("and Co")),
+                (F.col("c_custkey") % 5 + 1).cast("int"),
+            ),
+        ).alias("name"),
+    )
+    return c.select(
+        "c_custkey", "name", scalars.normalized_name_col(F.col("name")).alias("norm")
+    )
+
+
+_SUFX_SQL = "(co\\.uk|org\\.uk|ac\\.uk|com\\.au|com\\.br|co\\.in|co\\.jp|com\\.cn)"
+
+
+@register(
+    "normalized_domain",
+    f"""
+    WITH t AS (SELECT c_custkey,
+        'https://' || ['WWW.Acme','sub.Beta','gamma'][(c_custkey % 3)::INT + 1]
+        || (c_custkey % 20)::VARCHAR
+        || ['.com','.co.uk','.io'][((c_custkey % 9) // 3)::INT + 1] || '/about' AS url
+        FROM customer),
+    h AS (SELECT c_custkey, url,
+        regexp_replace(lower(regexp_extract(url,
+            '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#:]*)', 1)), '^www\\.', '') AS host
+        FROM t)
+    SELECT c_custkey, url,
+      CASE WHEN regexp_extract(host, '([^.]+\\.{_SUFX_SQL})$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\\.{_SUFX_SQL})$', 1)
+           WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+             THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+           ELSE host END AS domain
+    FROM h
+    """,
+)
+def normalized_domain(spark, sf_dir):
+    """F1: tldextract-style registered-domain normalization
+    (utils/domain.py:6-32)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(F.lit("WWW.Acme"), F.lit("sub.Beta"), F.lit("gamma")),
+                (F.col("c_custkey") % 3 + 1).cast("int"),
+            ),
+            (F.col("c_custkey") % 20).cast("string"),
+            F.element_at(
+                F.array(F.lit(".com"), F.lit(".co.uk"), F.lit(".io")),
+                (F.floor((F.col("c_custkey") % 9) / 3) + 1).cast("int"),
+            ),
+            F.lit("/about"),
+        ).alias("url"),
+    )
+    return c.select(
+        "c_custkey", "url", scalars.normalized_domain_col(F.col("url")).alias("domain")
+    )
+
+
+@register(
+    "politeness_schedule",
+    """
+    WITH fr AS (SELECT o_orderkey AS seq, o_orderkey AS sha_int,
+                       (o_orderkey % 3)::INT AS queue_rank,
+                       'h' || (o_custkey % 20)::VARCHAR AS host
+                FROM orders)
+    SELECT host, seq, queue_rank FROM (
+      SELECT host, seq, queue_rank,
+             row_number() OVER (PARTITION BY host ORDER BY queue_rank, seq) AS rn
+      FROM fr) WHERE rn <= 5
+    """,
+)
+def politeness_schedule(spark, sf_dir):
+    """W3: per-host politeness budget via the engine's two-phase salted
+    ranking (select_fetchable); oracle is the single-window equivalent.
+    Reference: DOWNLOAD_DELAY/CONCURRENT_REQUESTS settings.py:122-130."""
+    from .frontier import select_fetchable
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").alias("sha_int"),
+        (F.col("o_orderkey") % 3).cast("int").alias("queue_rank"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 20).cast("string")).alias("host"),
+    )
+    policy = (
+        o.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.lit(2.0).alias("crawl_delay_s"),
+            F.lit(1).alias("max_concurrent"),
+            F.lit(True).alias("robots_allow"),
+            F.lit(False).alias("cloudflare"),
+        )
+    )
+    sel = select_fetchable(o, policy, round_seconds=10.0, salt_k=4)
+    return sel.select("host", "seq", "queue_rank")
+
+
+@register(
+    "backoff_schedule",
+    """
+    WITH a AS (SELECT o_orderkey, (o_orderkey % 6)::INT AS attempt FROM orders)
+    SELECT o_orderkey, attempt,
+      round(least(300.0, power(2.0, attempt)) *
+            (0.5 + 0.5 * ((attempt * 2654435761) % 1000) / 1000.0), 4) AS delay_s
+    FROM a
+    """,
+)
+def backoff_schedule(spark, sf_dir):
+    """F16: capped exponential backoff with deterministic jitter
+    (expire.py:150-162; jitter seeded, not random, for replayability)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 6).cast("int").alias("attempt")
+    )
+    delay = F.round(
+        F.least(F.lit(300.0), F.pow(F.lit(2.0), F.col("attempt")))
+        * (0.5 + 0.5 * ((F.col("attempt") * 2654435761) % 1000) / 1000.0),
+        4,
+    )
+    return o.select("o_orderkey", "attempt", delay.alias("delay_s"))
+
+
+# ===========================================================================
+# C. Training-data pipeline operators (dedup, text analysis, similarity)
+# ===========================================================================
+_TOKS_SQL = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+
+
+def _toks_col():
+    return F.array_distinct(F.split(F.lower("text"), r"\s+"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_dups,
+           {_MD5_INT_SQL.format(c='text')} AS content_fp
+    FROM documents GROUP BY content_fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id
+    (training-data op; reference analog: Mongo upsert dedup by key,
+    gather_data_from_crunchy.py:144-146)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_fp", _md5_int(F.col("text")))
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .select("canonical_id", "n_dups", "content_fp")
+    )
+
+
+def _minhash_select_sql(n_perm: int = 8) -> str:
+    mins = ", ".join(
+        f"min({_MD5_INT_SQL.format(c=f_seed)}) AS mh{i}"
+        for i, f_seed in (
+            (i, f"('{i}:' || tok)") for i in range(n_perm)
+        )
+    )
+    return f"""
+    SELECT doc_id, {mins}
+    FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY doc_id
+    """
+
+
+def _minhash_sigs(spark, sf_dir, n_perm: int = 8):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks_col()).alias("tok"))
+    aggs = [
+        F.min(_md5_int(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(n_perm)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+@register("minhash_signatures", _minhash_select_sql(8))
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 permutations via seeded md5 double-hashing)
+    over unigram token sets — the shingle->minhash step of near-dup
+    detection (SURVEY.md training-data ops; reference has only exact
+    dedup, dupefilter.py:35-44)."""
+    return _minhash_sigs(spark, sf_dir, 8)
+
+
+_B0 = " || '_' || ".join(f"mh{i}::VARCHAR" for i in range(8))
+_B1 = " || '_' || ".join(f"mh{i}::VARCHAR" for i in range(8, 16))
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sig AS ({_minhash_select_sql(16)}),
+    bands AS (
+      SELECT doc_id, md5({_B0}) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5({_B1}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT a_id, b_id,
+           round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jac
+    FROM cand JOIN toks ta ON ta.doc_id = a_id JOIN toks tb ON tb.doc_id = b_id
+    WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs: 16 permutations, 2 bands of 8 ->
+    bucket-join -> verify true Jaccard >= 0.9. Only banded candidates are
+    verified, never all O(n^2) pairs — band width 8 keeps the candidate
+    rate ~(2*j^8), ~2% on this intrinsically-similar synthetic corpus
+    (median pairwise Jaccard 0.57)."""
+    sig = _minhash_sigs(spark, sf_dir, 16)
+
+    def band(cols):
+        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+
+    b0 = sig.select("doc_id", band([f"mh{i}" for i in range(8)]).alias("band"))
+    b1 = sig.select("doc_id", band([f"mh{i}" for i in range(8, 16)]).alias("band"))
+    bands = b0.unionByName(b1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", _toks_col().alias("toks"))
+    j = (
+        cand.join(d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta")), "a_id")
+        .join(d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb")), "b_id")
+    )
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        j.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.9)
+        .select("a_id", "b_id", F.round("jac_raw", 4).alias("jac"))
+    )
+
+
+def _simhash_sql(n_bits: int = 16) -> str:
+    h = _MD5_INT_SQL.format(c="tok")
+    sums = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+    SELECT doc_id, ({sums})::BIGINT AS simhash
+    FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+    GROUP BY doc_id
+    """
+
+
+@register("simhash", _simhash_sql(16))
+def simhash(spark, sf_dir):
+    """SimHash document fingerprint (16-bit demo width): per-bit weighted
+    sums of token hashes — near-dup family op."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks_col()).alias("tok"))
+    h = _md5_int(F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_EN_STOPS = ["the", "a", "key", "row"]
+_DE_STOPS = ["small", "data", "line"]
+_FR_STOPS = ["order", "query", "group"]
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_TOKS_SQL}, t -> list_contains({_EN_STOPS!r}, t))) AS en_n,
+        len(list_filter({_TOKS_SQL}, t -> list_contains({_DE_STOPS!r}, t))) AS de_n,
+        len(list_filter({_TOKS_SQL}, t -> list_contains({_FR_STOPS!r}, t))) AS fr_n
+      FROM documents)
+    SELECT doc_id, lang,
+      CASE WHEN en_n >= de_n AND en_n >= fr_n THEN 'en'
+           WHEN de_n >= fr_n THEN 'de' ELSE 'fr' END AS pred_lang
+    FROM s
+    """.replace("'", "'").replace('["', "['").replace('"]', "']"),
+)
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-membership scores + argmax
+    (training-data op; deterministic across engines — the synthetic corpus
+    shares vocab so accuracy is not the point, the operator is)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks_col()
+
+    def score(stops):
+        arr = F.array(*[F.lit(s) for s in stops])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, de, fr = score(_EN_STOPS), score(_DE_STOPS), score(_FR_STOPS)
+    pred = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+        length(text) AS n_chars_q,
+        len(string_split_regex(lower(text), '\\s+')) AS n_toks,
+        length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
+        len(list_filter(string_split_regex(lower(text), '\\s+'),
+            t -> list_contains({_EN_STOPS!r}, t))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_q, n_toks,
+      round(0.3 * least(1.0, n_chars_q / 200.0)
+          + 0.3 * (1.0 - n_punct::DOUBLE / greatest(n_chars_q, 1))
+          + 0.4 * (n_stop::DOUBLE / greatest(n_toks, 1)), 4) AS qscore
+    FROM m
+    """.replace('["', "['").replace('"]', "']"),
+)
+def quality_score(spark, sf_dir):
+    """Document quality scoring: length/punctuation/stopword ratios
+    (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    toks_all = F.split(F.lower("text"), r"\s+")
+    stops = F.array(*[F.lit(s) for s in _EN_STOPS])
+    n_chars = F.length("text")
+    n_toks = F.size(toks_all)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.!?,;]", ""))
+    n_stop = F.size(F.filter(toks_all, lambda t: F.array_contains(stops, t)))
+    q = F.round(
+        0.3 * F.least(F.lit(1.0), n_chars / 200.0)
+        + 0.3 * (1.0 - n_punct.cast("double") / F.greatest(n_chars, F.lit(1)))
+        + 0.4 * (n_stop.cast("double") / F.greatest(n_toks, F.lit(1))),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_toks.alias("n_toks"),
+        q.alias("qscore"),
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+      len(string_split_regex(lower(text), '\\s+')) AS n_ws_tokens,
+      len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting: whitespace split + BPE-ish regex token count
+    (training-data op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents)
+    SELECT d.doc_id,
+      sum(gs.i * (ascii(substr(d.toks[gs.i], 1, 1)) * 31 + length(d.toks[gs.i])))::BIGINT AS fp
+    FROM d, generate_series(1, 16) AS gs(i)
+    WHERE gs.i <= len(d.toks)
+    GROUP BY d.doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling/positional document fingerprint over the first 16 tokens
+    (training-data op: cheap content identity)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.lower("text"), r"\s+"), 1, 16).alias("toks")
+    )
+    e = d.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    term = (F.col("pos") + 1) * (
+        F.ascii(F.substring("tok", 1, 1)) * 31 + F.length("tok")
+    )
+    return e.groupBy("doc_id").agg(F.sum(term).cast("long").alias("fp"))
+
+
+_TO_D = "list_transform({c}, x -> x::DOUBLE)"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT {_TO_D.format(c='embedding')} AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+        round(list_dot_product({_TO_D.format(c='embedding')}, qe)
+          / (sqrt(list_dot_product({_TO_D.format(c='embedding')}, {_TO_D.format(c='embedding')}))
+             * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+      FROM embeddings, q WHERE vec_id <> 0)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column — the exact
+    baseline for similarity search (training-data op). JVM-side
+    zip_with/aggregate, no Python in the loop."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    q = e.filter(F.col("vec_id") == 0).select(to_d(F.col("embedding")).alias("qe"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    emb = to_d(F.col("embedding"))
+    sim = F.round(
+        dot(emb, F.col("qe"))
+        / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        j.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{8 * i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+
+
+@register(
+    "ann_lsh_bucket_topk",
+    f"""
+    WITH b AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS emb,
+                      ({_BUCKET_SQL}) AS bucket FROM embeddings),
+    q AS (SELECT emb AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+        round(list_dot_product(emb, qe)
+          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+      FROM b, q WHERE vec_id <> 0 AND bucket = qb)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_lsh_bucket_topk(spark, sf_dir):
+    """Sign-bit LSH-bucketed ANN: candidates share the query's 8-bit
+    hyperoctant bucket; exact cosine re-rank within — the scale path for
+    similarity search (bucket join replaces the O(n) scan)."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(8 * i) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ]
+    )
+    b = e.select("vec_id", to_d(F.col("embedding")).alias("emb"), bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qe"), F.col("bucket").alias("qb")
+    )
+    j = b.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qb")
+    )
+    sim = F.round(
+        dot(F.col("emb"), F.col("qe"))
+        / (F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        j.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+      round(sqrt(list_dot_product({_TO_D.format(c='embedding')},
+                                  {_TO_D.format(c='embedding')})), 4) AS l2
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector scalar op: L2 norm per embedding (JVM-side fold)."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    emb = to_d(F.col("embedding"))
+    return e.select("vec_id", "label", F.round(F.sqrt(dot(emb, emb)), 4).alias("l2"))
+
+
+@register(
+    "event_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_id,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def event_sessions(spark, sf_dir):
+    """Sessionization: lag-gap > 30min starts a new session (streaming
+    analog of session_window; batch form here, see streaming tests)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "event_windowed_counts",
+    """
+    SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS wstart, event_type,
+           count(*) AS n, round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_windowed_counts(spark, sf_dir):
+    """T-ops: 5-minute tumbling-window aggregation (batch mirror of the
+    Structured Streaming query in streaming.py; kafka/consumer.py:40-58)."""
+    ev = _t(spark, sf_dir, "events")
+    wstart = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return ev.groupBy(wstart.alias("wstart"), F.col("event_type")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT (regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT % 10) AS k_mod, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """F12: JSON field extraction from the props payload
+    (pipelines.py:11-14 item JSON round-trip)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int") % 10
+    return ev.groupBy(k.alias("k_mod")).agg(F.count("*").alias("n"))
+
+
+# ===========================================================================
+# D. Entity resolution / golden record / graph traversal
+# ===========================================================================
+_CB_SQL = """
+  SELECT c_custkey AS cb_id,
+         'Comp ' || (c_custkey % 300)::VARCHAR AS cb_name,
+         'd' || (c_custkey % 200)::VARCHAR || '.com' AS domain,
+         1990 + (c_custkey % 30)::INT AS cb_year,
+         round(c_acctbal, 2) AS cb_bal
+  FROM customer
+"""
+_TX_SQL = """
+  SELECT s_suppkey AS tx_id,
+         'Comp ' || (s_suppkey % 300)::VARCHAR ||
+            (CASE WHEN s_suppkey % 2 = 0 THEN ' Inc' ELSE '' END) AS tx_name,
+         'd' || (s_suppkey % 200)::VARCHAR || '.com' AS domain,
+         1990 + ((s_suppkey + (CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END)) % 30)::INT AS tx_year,
+         round(s_acctbal, 2) AS tx_bal
+  FROM supplier
+"""
+
+
+def _cb_side(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("cb_id"),
+        F.concat(F.lit("Comp "), (F.col("c_custkey") % 300).cast("string")).alias("cb_name"),
+        F.concat(F.lit("d"), (F.col("c_custkey") % 200).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        (F.lit(1990) + (F.col("c_custkey") % 30)).cast("int").alias("cb_year"),
+        F.round("c_acctbal", 2).alias("cb_bal"),
+    )
+
+
+def _tx_side(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    suffix = F.when(F.col("s_suppkey") % 2 == 0, F.lit(" Inc")).otherwise(F.lit(""))
+    yr_shift = F.when(F.col("s_suppkey") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+    return s.select(
+        F.col("s_suppkey").alias("tx_id"),
+        F.concat(
+            F.lit("Comp "), (F.col("s_suppkey") % 300).cast("string"), suffix
+        ).alias("tx_name"),
+        F.concat(F.lit("d"), (F.col("s_suppkey") % 200).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        (F.lit(1990) + ((F.col("s_suppkey") + yr_shift) % 30)).cast("int").alias("tx_year"),
+        F.round("s_acctbal", 2).alias("tx_bal"),
+    )
+
+
+_NORM_NAME_SQL = (
+    "array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower({n}),"
+    " '[^a-z0-9\\s]', '', 'g')), '\\s+'),"
+    f" t -> t <> '' AND NOT list_contains({_LEGAL_SQL}, t)), ' ')"
+)
+
+
+@register(
+    "entity_match_tiers",
+    f"""
+    WITH cb AS ({_CB_SQL}), tx AS ({_TX_SQL}),
+    pairs AS (
+      SELECT tx.tx_id, cb.cb_id,
+        string_split_regex({_NORM_NAME_SQL.format(n='cb.cb_name')}, '\\s+') AS cbt,
+        string_split_regex({_NORM_NAME_SQL.format(n='tx.tx_name')}, '\\s+') AS txt,
+        CASE WHEN cb.cb_year = tx.tx_year THEN 1.0 ELSE 0.0 END AS year_eq
+      FROM tx JOIN cb ON tx.domain = cb.domain),
+    scored AS (
+      SELECT tx_id, cb_id,
+        round(0.5
+          + 0.3 * (len(list_intersect(cbt, txt))::DOUBLE
+                   / len(list_distinct(list_concat(cbt, txt))))
+          + 0.2 * year_eq, 4) AS score
+      FROM pairs)
+    SELECT tx_id, cb_id, score,
+      CASE WHEN score >= 0.8 THEN 'auto_merge'
+           WHEN score >= 0.5 THEN 'review' ELSE 'no_match' END AS tier
+    FROM scored
+    """,
+)
+def entity_match_tiers(spark, sf_dir):
+    """J4/J5: blocked entity-resolution join — stage-1 exact-domain
+    blocking, composite score (0.5*domain + 0.3*name-jaccard + 0.2*year),
+    0.80/0.50 tier thresholds (entity_resolver.py:34-35,155-200,
+    resolve_entities.py:123-164)."""
+    cb, tx = _cb_side(spark, sf_dir), _tx_side(spark, sf_dir)
+    j = tx.join(cb, "domain")
+    cbt = F.split(scalars.normalized_name_col(F.col("cb_name")), r"\s+")
+    txt = F.split(scalars.normalized_name_col(F.col("tx_name")), r"\s+")
+    name_jac = F.size(F.array_intersect(cbt, txt)).cast("double") / F.size(
+        F.array_union(cbt, txt)
+    )
+    year_eq = F.when(F.col("cb_year") == F.col("tx_year"), 1.0).otherwise(0.0)
+    score = F.round(F.lit(0.5) + 0.3 * name_jac + 0.2 * year_eq, 4)
+    tier = (
+        F.when(F.col("score") >= 0.8, F.lit("auto_merge"))
+        .when(F.col("score") >= 0.5, F.lit("review"))
+        .otherwise(F.lit("no_match"))
+    )
+    return j.select("tx_id", "cb_id", score.alias("score")).withColumn("tier", tier)
+
+
+@register(
+    "golden_record",
+    f"""
+    WITH cb AS ({_CB_SQL}), tx AS ({_TX_SQL}),
+    agg_cb AS (SELECT domain, min(cb_name) AS cb_name, max(cb_bal) AS cb_bal,
+                      min(cb_year) AS cb_year FROM cb GROUP BY domain),
+    agg_tx AS (SELECT domain, min(tx_name) AS tx_name, max(tx_bal) AS tx_bal,
+                      min(tx_year) AS tx_year FROM tx GROUP BY domain)
+    SELECT coalesce(agg_cb.domain, agg_tx.domain) AS domain,
+           coalesce(cb_name, tx_name) AS name,
+           coalesce(tx_bal, cb_bal) AS funding_bal,
+           coalesce(cb_year, tx_year) AS founded_year,
+           CASE WHEN cb_name IS NOT NULL AND tx_name IS NOT NULL THEN 'both'
+                WHEN cb_name IS NOT NULL THEN 'cb' ELSE 'tx' END AS provenance
+    FROM agg_cb FULL OUTER JOIN agg_tx ON agg_cb.domain = agg_tx.domain
+    """,
+)
+def golden_record(spark, sf_dir):
+    """J6: golden-record merge with per-field source priority — name from
+    CB, funding from Tracxn, provenance recorded
+    (entity_resolver.py:38-50,225-301 SOURCE_PRIORITY)."""
+    cb = (
+        _cb_side(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.min("cb_name").alias("cb_name"),
+            F.max("cb_bal").alias("cb_bal"),
+            F.min("cb_year").alias("cb_year"),
+        )
+    )
+    tx = (
+        _tx_side(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.min("tx_name").alias("tx_name"),
+            F.max("tx_bal").alias("tx_bal"),
+            F.min("tx_year").alias("tx_year"),
+        )
+    )
+    j = cb.withColumnRenamed("domain", "cbd").join(
+        tx.withColumnRenamed("domain", "txd"), F.col("cbd") == F.col("txd"), "full_outer"
+    )
+    prov = (
+        F.when(F.col("cb_name").isNotNull() & F.col("tx_name").isNotNull(), F.lit("both"))
+        .when(F.col("cb_name").isNotNull(), F.lit("cb"))
+        .otherwise(F.lit("tx"))
+    )
+    return j.select(
+        F.coalesce("cbd", "txd").alias("domain"),
+        F.coalesce("cb_name", "tx_name").alias("name"),
+        F.coalesce("tx_bal", "cb_bal").alias("funding_bal"),
+        F.coalesce("cb_year", "tx_year").alias("founded_year"),
+        prov.alias("provenance"),
+    )
+
+
+@register(
+    "graph_two_hop",
+    """
+    SELECT c.c_nationkey AS cust_nation, s.s_nationkey AS supp_nation,
+           count(*) AS n_paths, count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def graph_two_hop(spark, sf_dir):
+    """J8/J9: multi-hop graph traversal as chained equi-joins over edge
+    tables (knowledgeGraph/db.py:15-96 Cypher patterns)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("cust_nation"),
+            F.col("s_nationkey").alias("supp_nation"),
+        )
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# ===========================================================================
+# E. Multimodal (image payload) operators — rows-only checks (binary
+#    payloads aren't expressible in the DuckDB oracle views)
+# ===========================================================================
+def _images_df(spark, n: int = 64):
+    from . import datagen, schemas
+
+    return spark.createDataFrame(datagen.gen_images_pdf(n), schema=schemas.IMAGES)
+
+
+@register("image_decode_stats")  # rows-only: binary payload op
+def image_decode_stats(spark, sf_dir):
+    """Multimodal decode: mapInPandas over binary image columns — per-fmt
+    decode stats with the PSNR>=40dB invariant surfaced as a column
+    (input_hint; parse.py is the engine's production path)."""
+    import pandas as pd
+
+    from . import codec
+
+    imgs = _images_df(spark, 64)
+
+    def stats(it):
+        for pdf in it:
+            rows = []
+            for iid, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr, lossless = codec.decode_image(bytes(data))
+                ref = codec.gen_pixels(int(iid[3:]), int(w), int(h))
+                p = codec.psnr(ref, arr)
+                rows.append((fmt, float(arr.mean()), bool(lossless or p >= 40.0)))
+            yield pd.DataFrame(rows, columns=["fmt", "mean_px", "psnr_ok"])
+
+    decoded = imgs.mapInPandas(stats, schema="fmt string, mean_px double, psnr_ok boolean")
+    return decoded.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("mean_px"), 2).alias("avg_mean"),
+        F.min(F.col("psnr_ok").cast("int")).alias("all_psnr_ok"),
+    )
+
+
+@register("image_resize")  # rows-only: binary payload op
+def image_resize(spark, sf_dir):
+    """Multimodal resize: vectorized batch resize to 16x16 via numpy
+    striding inside mapInPandas (real Spark plumbing; PIL would slot in
+    behind the same signature)."""
+    import numpy as np
+    import pandas as pd
+
+    from . import codec
+
+    imgs = _images_df(spark, 64)
+
+    def resize(it):
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                arr, _ = codec.decode_image(bytes(data))
+                ys = np.linspace(0, arr.shape[0] - 1, 16).astype(int)
+                xs = np.linspace(0, arr.shape[1] - 1, 16).astype(int)
+                small = arr[np.ix_(ys, xs)]
+                rows.append((iid, small.shape[1], small.shape[0], float(small.mean())))
+            yield pd.DataFrame(rows, columns=["image_id", "out_w", "out_h", "out_mean"])
+
+    return imgs.mapInPandas(
+        resize, schema="image_id string, out_w int, out_h int, out_mean double"
+    )
+
+
+@register("phash_hamming_neardup")  # rows-only: fixture table not in oracle views
+def phash_hamming_neardup(spark, sf_dir):
+    """Near-dup image pairs by perceptual-hash Hamming distance
+    (bit_count(xor) — JVM-side, no UDF)."""
+    a = _images_df(spark, 64).select(
+        F.col("image_id").alias("a_id"), F.col("phash").alias("pa")
+    )
+    b = _images_df(spark, 64).select(
+        F.col("image_id").alias("b_id"), F.col("phash").alias("pb")
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        pairs.select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ===========================================================================
+# F. Flagship: one crawl scheduling+dedup round as a single declarative
+#    plan (canonicalize -> fingerprint -> dedup -> politeness-rank)
+# ===========================================================================
+@register(
+    "crawl_schedule_dedup",
+    f"""
+    WITH u AS (SELECT o_orderkey AS seq,
+                      'https://' || (CASE WHEN o_orderkey % 2 = 0 THEN 'WWW.' ELSE '' END)
+                      || 'h' || (o_custkey % 40)::VARCHAR || '.crunchbase.com/organization/co-'
+                      || (o_orderkey % 3000)::VARCHAR
+                      || ['', '/', '?utm=x', '#frag'][(o_orderkey % 4)::INT + 1] AS url
+               FROM orders),
+    cn AS (SELECT seq, url, {_CANON_SQL.format(u='url')} AS url_canon FROM u),
+    fp AS (SELECT seq, url_canon, {_MD5_INT_SQL.format(c='url_canon')} AS sha_int,
+                  regexp_extract(url_canon, '://([^/]+)', 1) AS host FROM cn),
+    dedup AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sha_int ORDER BY seq) AS rn
+                             FROM fp) WHERE rn = 1),
+    ranked AS (SELECT host, seq, sha_int,
+                      row_number() OVER (PARTITION BY host ORDER BY seq) AS hr FROM dedup)
+    SELECT host, seq, sha_int FROM ranked WHERE hr <= 10
+    """,
+)
+def crawl_schedule_dedup(spark, sf_dir):
+    """THE flagship slice: seed URLs -> canonicalize (vectorized pandas
+    UDF) -> fingerprint -> first-arrival dedup -> per-host politeness
+    ranking -> fetchable set. One Catalyst plan, no per-row Python outside
+    the Arrow-vectorized canonicalizer (north_rule). Full loop with
+    snapshots lives in loop.py; parity in tests/test_parity.py."""
+    from .urlnorm import canonicalize_udf
+
+    o = _t(spark, sf_dir, "orders")
+    noise = F.element_at(
+        F.array(F.lit(""), F.lit("/"), F.lit("?utm=x"), F.lit("#frag")),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    www = F.when(F.col("o_orderkey") % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"), www, F.lit("h"), (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".crunchbase.com/organization/co-"),
+        (F.col("o_orderkey") % 3000).cast("string"), noise,
+    )
+    seeds = o.select(F.col("o_orderkey").alias("seq"), url.alias("url"))
+    cn = seeds.withColumn("url_canon", canonicalize_udf(F.col("url")))
+    fp = cn.select(
+        "seq",
+        "url_canon",
+        _md5_int(F.col("url_canon")).alias("sha_int"),
+        F.regexp_extract("url_canon", "://([^/]+)", 1).alias("host"),
+    )
+    wd = Window.partitionBy("sha_int").orderBy("seq")
+    dedup = fp.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+    wh = Window.partitionBy("host").orderBy("seq")
+    ranked = dedup.withColumn("hr", F.row_number().over(wh)).filter(F.col("hr") <= 10)
+    return ranked.select("host", "seq", "sha_int")
+
+
+# ===========================================================================
+# G. Remaining SURVEY §2 coverage: filtered facets ($all), offset
+#    pagination, count_if diagnostics, union+dedup
+# ===========================================================================
+@register(
+    "filtered_facets",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+    SELECT tok, count(*) AS n FROM (
+      SELECT doc_id, unnest(toks) AS tok FROM d
+      WHERE list_has_all(toks, ['hash', 'join']))
+    GROUP BY tok
+    """,
+)
+def filtered_facets(spark, sf_dir):
+    """A2: facet count with an $all prefilter — documents containing ALL
+    selected tokens, then per-token counts (public/views.py:318-346)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _toks_col().alias("toks"))
+    probe = F.array(F.lit("hash"), F.lit("join"))
+    has_all = F.size(F.array_intersect(F.col("toks"), probe)) == F.size(probe)
+    return (
+        d.filter(has_all)
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "orders_page_offset",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def orders_page_offset(spark, sf_dir):
+    """W5: page-2 pagination with offset (public/views.py:19-29)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
+    "countif_diagnostics",
+    """
+    SELECT c_nationkey AS nationkey,
+           count(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+           count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building,
+           count(*) AS n_total
+    FROM customer GROUP BY 1
+    """,
+)
+def countif_diagnostics(spark, sf_dir):
+    """A6: per-key conditional counts (merge-lookup diagnostics,
+    gather_data_from_crunchy.py:150-169)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+        F.count_if(F.col("c_mktsegment") == "BUILDING").alias("n_building"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@register(
+    "union_dedup_tokens",
+    f"""
+    SELECT tok, count(*) AS n FROM (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents WHERE source = 'src0'))
+    GROUP BY tok
+    """,
+)
+def union_dedup_tokens(spark, sf_dir):
+    """U4: union of two extraction paths + dedup
+    (TracxnDataParser.py:211-220 href union)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select(
+        "doc_id", F.explode(_toks_col()).alias("tok")
+    )
+    b = d.filter(F.col("source") == "src0").select(
+        "doc_id", F.explode(_toks_col()).alias("tok")
+    )
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,114 @@
+"""Snapshot-committed multi-table store (Iceberg-style, parquet-backed).
+
+The sandbox image has no Iceberg jar, so this is a thin, API-compatible
+substrate: each commit writes new parquet versions of the changed tables,
+then atomically swaps a root manifest (`os.replace`). Readers always see a
+consistent set of table versions; resume = read the current manifest.
+
+At cluster scale this maps 1:1 onto Iceberg:
+  commit()  -> one transaction appending/overwriting N tables
+  load()    -> snapshot-isolated table scan
+  rollback  -> point CURRENT at an older manifest (kept on disk)
+
+Reference analogs: durable RabbitMQ queues + "Resuming crawl (%d requests
+scheduled)" (rabbitmq/connection.py:26-32, scheduler.py:122-123) and the
+at-least-once ack/nack redelivery (pipelines.py:174-206) — subsumed here
+by atomic snapshot commits of the whole engine state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+    def _current_path(self) -> str:
+        return os.path.join(self.snap_dir, "CURRENT")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return {"version": -1, "tables": {}, "meta": {}}
+        with open(os.path.join(self.snap_dir, f"v{v:06d}.json")) as f:
+            return json.load(f)
+
+    # -- public API ----------------------------------------------------------
+    def commit(
+        self,
+        tables: dict[str, DataFrame] | None = None,
+        meta: dict[str, Any] | None = None,
+        appends: dict[str, DataFrame] | None = None,
+    ) -> int:
+        """Atomically commit new state.
+
+        ``tables``  — full overwrite (new single segment), for tables whose
+                      rows mutate (frontier status flips).
+        ``appends`` — append a delta segment to the table's segment list
+                      (Iceberg-style fast append; no rewrite of history) —
+                      for append-only tables (seen/items/lineage/fetch_log).
+        Unchanged tables carry forward from the previous manifest.
+        """
+        prev = self.manifest()
+        new_version = prev["version"] + 1
+        table_paths = {k: list(v) for k, v in prev["tables"].items()}
+        for name, df in (tables or {}).items():
+            rel = os.path.join("data", name, f"v{new_version:06d}")
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            table_paths[name] = [rel]
+        for name, df in (appends or {}).items():
+            rel = os.path.join("data", name, f"v{new_version:06d}-delta")
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            table_paths.setdefault(name, []).append(rel)
+        manifest = {
+            "version": new_version,
+            "tables": table_paths,
+            "meta": meta or {},
+        }
+        mpath = os.path.join(self.snap_dir, f"v{new_version:06d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+        # the atomic pointer swap — this is the commit point
+        tmp_cur = self._current_path() + ".tmp"
+        with open(tmp_cur, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp_cur, self._current_path())
+        return new_version
+
+    def load(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        if name not in m["tables"]:
+            raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
+        paths = [os.path.join(self.root, p) for p in m["tables"][name]]
+        return spark.read.parquet(*paths)
+
+    def has_table(self, name: str) -> bool:
+        return name in self.manifest()["tables"]
+
+    def rollback(self, version: int) -> None:
+        if not os.path.exists(os.path.join(self.snap_dir, f"v{version:06d}.json")):
+            raise ValueError(f"no snapshot v{version}")
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path())

@@ -1,0 +1,153 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference's "streaming" is message-at-a-time queue consumption with
+manual ack (kafka/consumer.py:40-58, databucket_consumer.py:41-54,
+pipelines.py:174-206). Spark-first re-expression:
+
+- T1 at-least-once ack/nack      -> checkpointed exactly-once micro-batches
+  (foreachBatch + idempotent MERGE keyed on url_sha1 subsumes it)
+- T2 prefetch_count=1            -> maxFilesPerTrigger / trigger pacing
+- T3 idle-poll DontCloseSpider   -> trigger(availableNow/processingTime)
+- T5 kafka manual commit         -> checkpoint offsets (built-in)
+- T7 stateful proxy/host health  -> applyInPandasWithState keyed by host
+
+Kafka itself needs the kafka jar (not in this image) — the reader is
+gated; the file-source path exercises identical semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from .urlnorm import with_url_identity
+
+SEED_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("entry_point", T.StringType(), True),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+
+def stream_seed_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming seed ingestion: watch a directory of seed parquet files
+    (the RabbitMQ-producer analog, api/views.py:19-42), canonicalize +
+    fingerprint each micro-batch, dedup WITHIN and ACROSS batches via
+    foreachBatch anti-join against the sink (idempotent MERGE -> the
+    exactly-once upgrade of the reference's at-least-once ack loop)."""
+
+    def sink_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_ = batch.sparkSession
+        ident = with_url_identity(batch, "url")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sha_int").orderBy("seq")
+        fresh = (
+            ident.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            existing = spark_.read.parquet(out_dir).select("sha_int").distinct()
+            fresh = fresh.join(existing, "sha_int", "left_anti")
+        except Exception:
+            pass  # first batch: sink empty
+        fresh.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    reader = (
+        spark.readStream.schema(SEED_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
+    """T-windowing: watermarked 5-minute tumbling aggregation (batch twin
+    is queries.event_windowed_counts; same results on bounded input)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> LTZ for watermark
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("wstart"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7: stateful host health (reference: proxymanager expire.py:15-147 —
+# good/dead/unchecked states with reanimation backoff)
+# ---------------------------------------------------------------------------
+HOST_HEALTH_OUTPUT = "host string, state string, fails int, successes int"
+HOST_HEALTH_STATE = "fails int, successes int"
+
+
+def host_health_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update: 3+ consecutive fails -> dead;
+    any success reanimates (expire.py state machine, deterministic)."""
+    fails, successes = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        for ok in pdf["ok"]:
+            if bool(ok):
+                successes += 1
+                fails = 0
+            else:
+                fails += 1
+    state.update((fails, successes))
+    st = "dead" if fails >= 3 else ("good" if successes > 0 else "unchecked")
+    yield pd.DataFrame(
+        [{"host": key[0], "state": st, "fails": fails, "successes": successes}]
+    )
+
+
+def host_health_stream(fetch_results: DataFrame):
+    """Keyed stateful stream: (host, ok) fetch outcomes -> health states."""
+    return fetch_results.groupBy("host").applyInPandasWithState(
+        host_health_fn,
+        outputStructType=HOST_HEALTH_OUTPUT,
+        stateStructType=HOST_HEALTH_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def read_kafka_items(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame | None:
+    """S13: Kafka source (legacy path, kafka/consumer.py:40-58). Needs the
+    spark-sql-kafka jar on the classpath; returns None when absent."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception:
+        return None

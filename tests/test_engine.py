@@ -1,0 +1,115 @@
+"""End-to-end engine: rounds, statuses, invariants, resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crunchy_spark import codec, datagen
+from crunchy_spark.loop import CrawlConfig, CrawlEngine
+from crunchy_spark.snapshot import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, unit_fixtures, tmp_path_factory):
+    store = SnapshotStore(str(tmp_path_factory.mktemp("store")))
+    # round_seconds large => effectively unbounded per-host budget; the
+    # politeness budget itself is unit-tested in test_frontier.py
+    eng = CrawlEngine(spark, store, unit_fixtures, CrawlConfig(round_seconds=1e6))
+    seeds = spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet")
+    eng.bootstrap(seeds)
+    stats = eng.run(max_rounds=30)
+    return eng, store, stats
+
+
+def test_runs_to_dry(crawled):
+    eng, store, stats = crawled
+    assert len(stats) >= 2
+    # frontier dry: no pending left (or only rows beyond max rounds)
+    f = store.load(eng.spark, "frontier")
+    assert f.filter(F.col("status") == "pending").count() == 0
+
+
+def test_seen_set_unique_canonical(crawled):
+    eng, store, _ = crawled
+    seen = store.load(eng.spark, "seen")
+    assert seen.count() == seen.select("url_sha1").distinct().count()
+    # frontier rows unique by fingerprint too
+    f = store.load(eng.spark, "frontier")
+    assert f.count() == f.select("url_sha1").distinct().count()
+
+
+def test_fetch_log_is_total_order(crawled):
+    eng, store, _ = crawled
+    log = store.load(eng.spark, "fetch_log").orderBy("fetch_seq").collect()
+    seqs = [r["fetch_seq"] for r in log]
+    assert seqs == list(range(1, len(seqs) + 1))
+
+
+def test_items_parse_invariants(crawled, unit_fixtures):
+    """Per-row invariant vs the reference decode (input_hint): caption
+    equality + phash match of the decoded payload."""
+    eng, store, _ = crawled
+    items = store.load(eng.spark, "items")
+    images = eng.spark.read.parquet(f"{unit_fixtures}/images.parquet")
+    n = items.count()
+    assert n > 100
+    # caption and phash surfaced by parse must equal the payload table's
+    joined = items.alias("i").join(
+        images.alias("m"), F.col("i.phash") == F.col("m.phash"), "left_semi"
+    )
+    assert joined.count() == n
+
+
+def test_decoded_pixels_psnr(crawled, unit_fixtures):
+    eng, store, _ = crawled
+    items = store.load(eng.spark, "items").limit(50).collect()
+    meta = datagen.fixture_meta(unit_fixtures)
+    images = {
+        r["image_id"]: r
+        for r in eng.spark.read.parquet(f"{unit_fixtures}/images.parquet").collect()
+    }
+    for it in items:
+        # recompute reference pixels for the image this item decoded
+        img_row = None
+        for r in images.values():
+            if r["phash"] == it["phash"] and r["caption"] == it["caption"]:
+                img_row = r
+                break
+        assert img_row is not None
+        idx = int(img_row["image_id"][3:])
+        ref = codec.gen_pixels(idx, img_row["w"], img_row["h"])
+        arr, lossless = codec.decode_image(bytes(img_row["bytes"]))
+        assert codec.psnr(ref, arr) >= 40.0 or lossless
+        assert it["img_w"] == img_row["w"] and it["img_h"] == img_row["h"]
+    assert meta["n_images"] > 0
+
+
+def test_lineage_counts_cover_fetches(crawled):
+    eng, store, _ = crawled
+    lineage = store.load(eng.spark, "lineage")
+    log = store.load(eng.spark, "fetch_log")
+    assert lineage.agg(F.sum("n")).first()[0] == log.count()
+
+
+def test_resume_from_snapshot(spark, unit_fixtures, tmp_path_factory):
+    """Kill mid-crawl, restart from snapshot, final state identical to an
+    uninterrupted run (T4: durable-queue resume analog)."""
+    seeds = spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet").limit(60)
+
+    conf = CrawlConfig(round_seconds=1e6)
+    s1 = SnapshotStore(str(tmp_path_factory.mktemp("s1")))
+    e1 = CrawlEngine(spark, s1, unit_fixtures, conf)
+    e1.bootstrap(seeds)
+    e1.run(max_rounds=30)
+
+    s2 = SnapshotStore(str(tmp_path_factory.mktemp("s2")))
+    e2 = CrawlEngine(spark, s2, unit_fixtures, conf)
+    e2.bootstrap(seeds)
+    e2.run(max_rounds=2)  # "crash" here
+    e2b = CrawlEngine(spark, s2, unit_fixtures, conf)  # fresh process
+    e2b.run(max_rounds=30)
+
+    assert e1.seen_set() == e2b.seen_set()
+    assert e1.crawl_order() == e2b.crawl_order()
+    i1 = {r["url_canon"] for r in s1.load(spark, "items").collect()}
+    i2 = {r["url_canon"] for r in s2.load(spark, "items").collect()}
+    assert i1 == i2

@@ -1,0 +1,94 @@
+"""Scheduler semantics: priority, FIFO, per-host politeness budget,
+salted-ranking exactness under host skew (W1-W3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crunchy_spark import datagen, schemas
+from crunchy_spark.frontier import seeds_to_frontier, select_fetchable
+
+
+@pytest.fixture(scope="module")
+def pending(spark):
+    seeds = spark.createDataFrame(datagen.gen_frontier_seed_pdf(400))
+    return seeds_to_frontier(seeds, n_images=200).cache()
+
+
+@pytest.fixture(scope="module")
+def policy(spark):
+    return spark.createDataFrame(datagen.gen_host_policy_pdf(), schema=schemas.HOST_POLICY)
+
+
+def test_per_host_budget_exact(spark, pending, policy):
+    """Per-host cap = floor(round_seconds/delay)*max_concurrent, held
+    exactly even for the skewed apex hosts."""
+    sel = select_fetchable(pending, policy, round_seconds=10.0, salt_k=8)
+    counts = {r["host"]: r["n"] for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    pol = {r["host"]: r for r in policy.collect()}
+    for host, n in counts.items():
+        budget = max(1, int(10.0 // pol[host]["crawl_delay_s"])) * pol[host]["max_concurrent"]
+        assert n <= budget, f"{host}: {n} > {budget}"
+    # apex hosts (delay 5) get exactly 2 when they have >=2 pending
+    assert counts["crunchbase.com"] == 2
+    assert counts["tracxn.com"] == 2
+
+
+def test_selection_is_host_prefix_by_priority(spark, pending, policy):
+    """Within each host, the selected rows are exactly the top-budget rows
+    by (queue_rank, seq) — the salted two-phase ranking is exact."""
+    sel = select_fetchable(pending, policy, round_seconds=25.0, salt_k=4)
+    sel_keys = {(r["host"], r["seq"]) for r in sel.select("host", "seq").collect()}
+    pend = [
+        (r["host"], r["queue_rank"], r["seq"])
+        for r in pending.select("host", "queue_rank", "seq").collect()
+    ]
+    pol = {r["host"]: r for r in policy.collect()}
+    by_host: dict[str, list] = {}
+    for host, rank, seq in pend:
+        by_host.setdefault(host, []).append((rank, seq))
+    for host, rows in by_host.items():
+        budget = max(1, int(25.0 // pol[host]["crawl_delay_s"])) * pol[host]["max_concurrent"]
+        expect = {(host, seq) for _, seq in sorted(rows)[:budget]}
+        got = {k for k in sel_keys if k[0] == host}
+        assert got == expect, f"{host}: {got} != {expect}"
+
+
+def test_global_budget_order(spark, pending, policy):
+    """global_budget=1 pops the single (queue_rank, seq) minimum —
+    tracxn(1) before crunchbase(2), FIFO within (scheduler.py:136-162)."""
+    sel = select_fetchable(pending, policy, round_seconds=1e6, global_budget=1)
+    rows = sel.collect()
+    assert len(rows) == 1
+    pend = pending.orderBy("queue_rank", "seq").first()
+    assert rows[0]["seq"] == pend["seq"]
+    assert rows[0]["queue_rank"] == 1  # a tracxn row exists => rank 1 first
+
+
+def test_site_discard_at_enqueue(spark):
+    seeds = spark.createDataFrame(
+        [
+            ("https://crunchbase.com/organization/a", None, "crunchbase", 0, None, 0.0),
+            ("https://evil.example.com/x", None, None, 1, None, 0.0),
+            ("https://tracxn.com/d/companies/b/__c", None, "tracxn", 2, None, 0.0),
+        ],
+        schema=schemas.SEED,
+    )
+    f = seeds_to_frontier(seeds, n_images=10)
+    sites = {r["site"] for r in f.collect()}
+    assert sites == {"crunchbase", "tracxn"}
+    assert f.count() == 2
+
+
+def test_seed_dedup_keeps_first_arrival(spark):
+    u = "https://crunchbase.com/organization/a"
+    seeds = spark.createDataFrame(
+        [
+            (u, None, "crunchbase", 0, None, 0.0),
+            (u + "/", None, "crunchbase", 1, None, 0.0),
+            ("https://WWW.CRUNCHBASE.COM/organization/a", None, "crunchbase", 2, None, 0.0),
+        ],
+        schema=schemas.SEED,
+    )
+    f = seeds_to_frontier(seeds, n_images=10).collect()
+    assert len(f) == 1
+    assert f[0]["seq"] == 0
