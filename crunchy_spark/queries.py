@@ -1623,6 +1623,152 @@ def countif_diagnostics(spark, sf_dir):
 
 
 @register(
+    "ngram_shingle_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks)-2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+    blk AS (SELECT doc_id, sh,
+                   list_min(list_transform(sh, s -> {_MD5_INT_SQL.format(c='s')})) AS blk
+            FROM sh)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
+def ngram_shingle_jaccard_pairs(spark, sf_dir):
+    """N-gram (3-shingle) Jaccard near-dup pairs with 1-permutation
+    min-shingle-hash blocking: only docs sharing their minimum shingle
+    hash are compared (the classic bottom-1 MinHash block — identical
+    near-dups always collide because they share the min shingle), then
+    true shingle-Jaccard >= 0.8 verifies. Never O(n^2): the equi-join on
+    the block key is a plain shuffle hash join at scale."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 2)
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
+    )
+    s = d.select("doc_id", sh.alias("sh"))
+    blk = F.array_min(F.transform(F.col("sh"), lambda x: _md5_int(x)))
+    s = s.withColumn("blk", blk)
+    a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"), "blk")
+    b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"), F.col("blk").alias("blkb"))
+    pairs = a.join(b, (F.col("blk") == F.col("blkb")) & (F.col("a_id") < F.col("b_id")))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        pairs.withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.8)
+        .select("a_id", "b_id", F.round("jac_raw", 4).alias("jac"))
+    )
+
+
+_BUCKET4_SQL = " || ".join(
+    f"(CASE WHEN embedding[{16 * i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(4)
+)
+
+
+@register(
+    "embedding_neardup_cosine",
+    f"""
+    WITH b AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS emb,
+                      ({_BUCKET4_SQL}) AS bucket FROM embeddings),
+    s AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+            round(list_dot_product(a.emb, c.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cos_sim
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.35
+    """,
+)
+def embedding_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: 4-bit sign-LSH bucket blocking
+    (dims 0/16/32/48) -> exact cosine within bucket -> threshold. The
+    bucket equi-join bounds candidates to ~n^2/16 per bucket instead of
+    the full cross product; at 100 TB the bucket key is also the shuffle
+    partition key so each executor scores only its hyperoctant."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(16 * i) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(4)
+        ]
+    )
+    b = e.select("vec_id", to_d(F.col("embedding")).alias("emb"), bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("ea"), "bucket")
+    c = b.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("eb"), F.col("bucket").alias("bucketb")
+    )
+    pairs = a.join(c, (F.col("bucket") == F.col("bucketb")) & (F.col("a_id") < F.col("b_id")))
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("cs_raw", sim)
+        .withColumn("cos_sim", F.round("cs_raw", 4))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("a_id", "b_id", "cos_sim")
+    )
+
+
+@register("media_frame_sample")  # rows-only: binary payload op
+def media_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling (video analog): treat each decoded
+    payload's rows as a frame sequence and sample every 4th frame via
+    mapInPandas — deterministic stand-in decode per FIXTURES.md (a real
+    video codec slots in behind the same batch-iterator signature; the
+    Spark plumbing — binary column, Arrow batches, schema — is real)."""
+    import pandas as pd
+
+    from . import codec
+
+    imgs = _images_df(spark, 64)
+
+    def sample(it):
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                arr, _ = codec.decode_image(bytes(data))
+                frames = arr[::4]  # every 4th row as a "frame"
+                rows.append(
+                    (iid, int(arr.shape[0]), int(frames.shape[0]), float(frames.mean()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_frames", "n_sampled", "sample_mean"]
+            )
+
+    return imgs.mapInPandas(
+        sample,
+        schema="image_id string, n_frames int, n_sampled int, sample_mean double",
+    )
+
+
+@register(
     "union_dedup_tokens",
     f"""
     SELECT tok, count(*) AS n FROM (
