@@ -33,6 +33,8 @@ HEADLINE = [
     "politeness_schedule",
     # training-data ops
     "dedup_exact",
+    "ngram_shingle_jaccard_pairs",
+    "embedding_neardup_cosine",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",

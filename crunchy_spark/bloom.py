@@ -1,11 +1,20 @@
 """Partitioned Bloom-bitmap URL-seen filter.
 
-PySpark doesn't expose Catalyst's BloomFilterAggregate, so the bitmaps are
-built as binary columns by Arrow-vectorized applyInPandas over sha_int
-keys, partitioned into buckets (pmod(sha_int, n_buckets)) so each bitmap
-stays small and the whole filter is broadcast/cogroup-joinable. Merging
-two filters is a per-bucket bitwise OR — exactly the "broadcast-mergeable
-bitmap columns" from the north_star.
+PySpark doesn't expose Catalyst's BloomFilterAggregate, so the bitmaps
+are built as ``array<long>`` word columns by Arrow-vectorized
+applyInPandas over sha_int keys, partitioned into buckets
+(``pmod(sha_int, n_buckets)``) so each bitmap stays small and the whole
+filter is broadcast/bucket-joinable. Merging two filters is a per-bucket
+bitwise OR — exactly the "broadcast-mergeable bitmap columns" from the
+north_star.
+
+The PROBE is pure JVM: candidates equi-join their bucket's word array
+(auto-broadcast at fixture scale — 32 buckets x 128 KiB = 4 MB; a
+shuffle-hash bucket join at 10^10-key scale where the filter is ~12.5 GB)
+and the k bit tests are whole-stage-codegen'd shift expressions. No
+Python, no Arrow channel, no per-row anything in the hot path — the
+Python side only ever builds/merges bitmaps (once per round, vectorized
+numpy over the delta keys).
 
 The bloom is ADVISORY ONLY: "definitely unseen" candidates skip the exact
 anti-join; "maybe seen" candidates are confirmed with an exact left_anti
@@ -16,8 +25,8 @@ Reference analog: the vestigial request-fingerprint dupefilter
 
 Sizing: bits_per_key=10, k=7 -> ~0.8% false-positive rate; at 10^10 keys
 that's ~12.5 GB of bitmap split across buckets (each executor holds only
-its buckets via the cogroup), with the exact anti-join only touching the
-~1% maybe-seen stragglers.
+its buckets via the bucket join), with the exact anti-join only touching
+the ~1% maybe-seen stragglers.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_SCHEMA = "bucket int, bitmap binary, n_keys long"
+BLOOM_SCHEMA = "bucket int, words array<long>, n_keys long"
 K_HASHES = 7
 DEFAULT_N_BUCKETS = 32
 DEFAULT_M_BITS = 1 << 20  # per-bucket bits (128 KiB) — fixture scale
@@ -41,12 +50,18 @@ def _indices(shas: np.ndarray, m_bits: int) -> np.ndarray:
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
 
 
+def _bits_to_words(bits: np.ndarray) -> list[int]:
+    """uint8 bitmap -> little-endian int64 words (bit g of the bitmap is
+    bit g%64 of word g//64 — the layout the JVM probe expressions use)."""
+    return bits.view("<u8").view(np.int64).tolist()
+
+
 def build_bloom(
     keys: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
     m_bits: int = DEFAULT_M_BITS,
 ) -> DataFrame:
-    """keys: DataFrame with a sha_int column -> one bitmap row per bucket."""
+    """keys: DataFrame with a sha_int column -> one words row per bucket."""
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         shas = pdf["sha_int"].to_numpy(dtype=np.uint64)
@@ -56,7 +71,7 @@ def build_bloom(
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["_bucket"].iloc[0])],
-                "bitmap": [bits.tobytes()],
+                "words": [_bits_to_words(bits)],
                 "n_keys": [len(pdf)],
             }
         )
@@ -72,13 +87,13 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
 
     def orit(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: np.ndarray | None = None
-        for buf in pdf["bitmap"]:
-            arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+        for words in pdf["words"]:
+            arr = np.asarray(words, dtype=np.int64)
             acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "bitmap": [acc.tobytes()],
+                "words": [acc.tolist()],
                 "n_keys": [int(pdf["n_keys"].sum())],
             }
         )
@@ -87,35 +102,37 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def probe_bloom(candidates: DataFrame, bloom: DataFrame, n_buckets: int) -> DataFrame:
-    """Adds a `_maybe_seen` column via cogrouped per-bucket probing (the
-    bitmap crosses the Arrow channel once per bucket, not once per row)."""
+    """Adds a `_maybe_seen` column via a JVM-only bucket join + bit tests.
 
-    def probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cand_pdf.empty:
-            return pd.DataFrame({"sha_int": [], "_maybe_seen": []}).astype(
-                {"sha_int": "int64", "_maybe_seen": "bool"}
-            )
-        shas = cand_pdf["sha_int"].to_numpy(dtype=np.uint64)
-        if bloom_pdf.empty:
-            maybe = np.zeros(len(shas), dtype=bool)
-        else:
-            bits = np.frombuffer(bytes(bloom_pdf["bitmap"].iloc[0]), dtype=np.uint8)
-            idx = _indices(shas, int(len(bits) * 8))
-            hit = (bits[idx // 8] >> (idx % 8).astype(np.uint8)) & 1
-            maybe = hit.all(axis=1).astype(bool)
-        return pd.DataFrame({"sha_int": shas.astype(np.int64), "_maybe_seen": maybe})
-
-    ckeyed = candidates.select("sha_int").withColumn(
+    The bitmap reaches executors once per bucket through the join (auto-
+    broadcast under the 64 MB threshold, shuffle-hash above it); the k
+    bit probes are whole-stage-codegen'd expressions — no Python worker,
+    no Arrow transfer, no recomputation-provoking join-back."""
+    b = bloom.select(F.col("bucket").alias("_bucket"), "words")
+    ckeyed = candidates.withColumn(
         "_bucket", F.pmod(F.col("sha_int"), F.lit(n_buckets)).cast("int")
     )
-    verdict = (
-        ckeyed.groupBy("_bucket")
-        .cogroup(bloom.groupBy("bucket"))
-        .applyInPandas(lambda c, b: probe(c, b), schema="sha_int long, _maybe_seen boolean")
-    )
-    return candidates.join(verdict, "sha_int", "left").withColumn(
-        "_maybe_seen", F.coalesce(F.col("_maybe_seen"), F.lit(False))
-    )
+    j = ckeyed.join(b, "_bucket", "left")
+    maybe = F.when(F.col("words").isNull(), F.lit(False)).otherwise(_probe_tests())
+    return j.withColumn("_maybe_seen", maybe).drop("words", "_bucket")
+
+
+def _probe_tests() -> F.Column:
+    """The K_HASHES AND-ed bit tests, mirroring _indices: h1 = sha &
+    0xFFFFFFFF, h2 = ((sha >> 28) | 1) & 0xFFFFFFFF, idx_i = (h1 + i*h2)
+    % m_bits, m_bits = size(words)*64. shiftright's arithmetic sign-fill
+    is harmless — only bit 0 of the shifted value is read."""
+    tests = []
+    for i in range(K_HASHES):
+        idx_sql = (
+            f"pmod(((sha_int & 4294967295) + {i} * ((shiftright(sha_int, 28) | 1) "
+            f"& 4294967295)), size(words) * cast(64 as bigint))"
+        )
+        tests.append(
+            f"(shiftright(element_at(words, cast(({idx_sql}) div 64 as int) + 1), "
+            f"cast(({idx_sql}) % 64 as int)) & 1) = 1"
+        )
+    return F.expr("(" + ") AND (".join(tests) + ")")
 
 
 def filter_unseen(
@@ -127,10 +144,21 @@ def filter_unseen(
 ) -> DataFrame:
     """Candidates not in the seen set (J11: bloom pre-filter + exact
     anti-join as the authoritative check)."""
-    seen_keys = seen.select("sha_int").distinct()
+    # no distinct(): left_anti ignores right-side key multiplicity, and the
+    # engine's seen table is unique by construction — a distinct here would
+    # add a full exchange of the seen set per round for nothing.
+    # shuffle_hash hint: the seen side is the frontier's whole history —
+    # far beyond broadcast size at 10^10 keys, and even locally the
+    # broadcast hash build is a serial driver cost that caps scaling;
+    # a shuffled hash join builds per-partition tables in parallel.
+    seen_keys = seen.select("sha_int").hint("shuffle_hash")
     if not use_bloom or bloom is None:
         return candidates.join(seen_keys, "sha_int", "left_anti")
-    probed = probe_bloom(candidates, bloom, n_buckets)
+    # persist before branching: both the definitely-new and maybe-seen
+    # branches read the probed set, and without a persist Catalyst would
+    # recompute the whole upstream subtree (scan + canonicalize UDF +
+    # dedup agg) once per branch.
+    probed = probe_bloom(candidates, bloom, n_buckets).persist()
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen_keys, "sha_int", "left_anti")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import schemas
-from .frontier import image_id_col, queue_rank_col
+from .frontier import first_arrival, image_id_col, queue_rank_col
 from .parse import is_continuation_col
 from .urlnorm import with_url_identity
 
@@ -67,9 +67,9 @@ def expansion_candidates(parsed: DataFrame, round_id: int, n_images: int,
 def _to_frontier_rows(cands: DataFrame, round_id: int, n_images: int) -> DataFrame:
     c = with_url_identity(cands, "url")
     c = c.filter(F.col("site") != "other")  # site validation discard (queue.py:155-168)
-    # batch-level dedup keeping first by parent order (D4/D5 semantics)
-    w = Window.partitionBy("sha_int").orderBy("_parent_order", "_pos")
-    c = c.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # batch-level dedup keeping first by parent order (D4/D5 semantics);
+    # map-side-combinable aggregate instead of a window sort
+    c = first_arrival(c, "sha_int", ("_parent_order", "_pos"))
     return (
         c.withColumn(
             "queue_rank", queue_rank_col(F.col("site"), F.col("_is_continuation"))

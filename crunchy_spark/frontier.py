@@ -39,13 +39,32 @@ def image_id_col(sha_int, n_images: int):
     return F.format_string("img%010d", F.pmod(sha_int, F.lit(n_images)))
 
 
+def first_arrival(
+    df: DataFrame, key_col: str = "sha_int", order_cols: tuple[str, ...] = ("seq",)
+) -> DataFrame:
+    """Keep the first row per key, ordered by ``order_cols``.
+
+    Equivalent to ``row_number() OVER (PARTITION BY key ORDER BY order) = 1``
+    but expressed as ``min(struct(order, payload))`` so Spark runs it as a
+    hash aggregate with a MAP-SIDE PARTIAL combine — on a dup-heavy
+    frontier the shuffle carries one row per (partition, key) instead of
+    every row, and no per-key sort happens. At 10^10 URLs this is the
+    difference between shuffling the frontier and shuffling its distinct
+    keys."""
+    other = [c for c in df.columns if c != key_col and c not in order_cols]
+    packed = F.struct(*[F.col(c) for c in (*order_cols, *other)])
+    agg = df.groupBy(key_col).agg(F.min(packed).alias("_fa"))
+    return agg.select(
+        key_col, *[F.col(f"_fa.{c}").alias(c) for c in (*order_cols, *other)]
+    ).select(*df.columns)
+
+
 def seeds_to_frontier(seeds: DataFrame, n_images: int) -> DataFrame:
     """Canonicalize, dedup (keep first arrival), route, discard non-site
     URLs (reference: queue.py:155-168 validates URL against queue site)."""
     s = with_url_identity(seeds, "url")
     # first arrival wins — FIFO dedup (reference Mongo-uniqueness analog)
-    w = Window.partitionBy("sha_int").orderBy("seq")
-    s = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    s = first_arrival(s, "sha_int", ("seq",))
     s = s.filter(F.col("site") != "other")  # discarded at enqueue
     out = (
         s.withColumn("queue_rank", queue_rank_col(F.col("site"), F.lit(False)))

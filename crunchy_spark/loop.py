@@ -142,12 +142,9 @@ class CrawlEngine:
             parsed, round_id, self.n_images, self.conf.interested
         )
         cand = cont.unionByName(expn)
-        wdedup = Window.partitionBy("sha_int").orderBy("_parent_order", "_pos")
-        cand = (
-            cand.withColumn("_rn", F.row_number().over(wdedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        from .frontier import first_arrival
+
+        cand = first_arrival(cand, "sha_int", ("_parent_order", "_pos"))
         fresh = filter_unseen(cand, seen, bloom=bloom, use_bloom=self.conf.use_bloom)
         new_rows = assign_seq(fresh, base_seq).localCheckpoint()
         n_new = new_rows.count()

@@ -1623,6 +1623,94 @@ def countif_diagnostics(spark, sf_dir):
 
 
 @register(
+    "string_ops",
+    """
+    WITH t AS (SELECT c_custkey,
+        'Acme Labs #' || (c_custkey % 100)::VARCHAR AS name,
+        'Acme ' || (c_custkey % 100)::VARCHAR || ' - Company Profile' AS title,
+        'https://acme' || (c_custkey % 100)::VARCHAR || '.com/a//' AS url,
+        'https://res.cloudinary.com/img' || (c_custkey % 50)::VARCHAR || '.png' AS logo,
+        'small.png 1x large.png 2x' AS srcset,
+        ['  Acme  ', '', ' builds ', 'rockets '] AS parts
+      FROM customer)
+    SELECT c_custkey,
+      substr(lower(regexp_replace(name, '[^a-zA-Z0-9_\\-]', '_', 'g')), 1, 80) AS slug,
+      trim(regexp_replace(title, '- Company Profile$', '')) AS title_clean,
+      regexp_replace(trim(url), '/+$', '') AS url_clean,
+      regexp_replace(logo, '^https://res\\.cloudinary\\.com/',
+                     'https://images.crunchbase.com/') AS logo_url,
+      regexp_extract(srcset, '([^\\s]+) 1x', 1) AS img_1x,
+      array_to_string(list_filter(list_transform(parts, x -> trim(x)), x -> x <> ''), ' ')
+        AS joined
+    FROM t
+    """,
+)
+def string_ops(spark, sf_dir):
+    """F7/F8/F9/F10/F11/F17/P9 in one projection: slug builder
+    (spiders/crunchy.py:69-81), srcset 1x pick (CrunchbaseDataParser.py:
+    10-13), whitespace-join (:49-62), profile-suffix strip
+    (TracxnDataParser.py:86-89), trailing-slash trim, logo prefix rewrite
+    (migrate_crunchbase_logos.py:16-20)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("Acme Labs #"), (F.col("c_custkey") % 100).cast("string")).alias("name"),
+        F.concat(
+            F.lit("Acme "), (F.col("c_custkey") % 100).cast("string"),
+            F.lit(" - Company Profile"),
+        ).alias("title"),
+        F.concat(
+            F.lit("https://acme"), (F.col("c_custkey") % 100).cast("string"), F.lit(".com/a//")
+        ).alias("url"),
+        F.concat(
+            F.lit("https://res.cloudinary.com/img"),
+            (F.col("c_custkey") % 50).cast("string"), F.lit(".png"),
+        ).alias("logo"),
+        F.lit("small.png 1x large.png 2x").alias("srcset"),
+        F.array(F.lit("  Acme  "), F.lit(""), F.lit(" builds "), F.lit("rockets ")).alias(
+            "parts"
+        ),
+    )
+    # NB: F.transform(col, F.trim) would call two-arg trim(elem, index);
+    # the explicit lambda keeps it the one-arg whitespace trim
+    joined = F.array_join(
+        F.filter(F.transform(F.col("parts"), lambda x: F.trim(x)), lambda x: x != ""), " "
+    )
+    return c.select(
+        "c_custkey",
+        scalars.slug_col(F.col("name")).alias("slug"),
+        scalars.strip_profile_suffix_col(F.col("title")).alias("title_clean"),
+        scalars.rstrip_slash_col(F.col("url")).alias("url_clean"),
+        scalars.logo_rewrite_col(F.col("logo")).alias("logo_url"),
+        F.regexp_extract("srcset", r"([^\s]+) 1x", 1).alias("img_1x"),
+        joined.alias("joined"),
+    )
+
+
+_AGENTS_SQL = "['ua-firefox','ua-chrome','ua-safari','ua-edge','ua-opera']"
+
+
+@register(
+    "ua_choice",
+    f"""
+    SELECT c_custkey,
+      {_AGENTS_SQL}[((c_custkey * 2654435761) % 5)::INT + 1] AS ua
+    FROM customer
+    """,
+)
+def ua_choice(spark, sf_dir):
+    """F15: user-agent rotation as a seeded deterministic pick instead of
+    random.choice (middlewares.py:19-23, agents.py:10-51) — replayable
+    rounds require no wall-clock randomness."""
+    agents = ["ua-firefox", "ua-chrome", "ua-safari", "ua-edge", "ua-opera"]
+    c = _t(spark, sf_dir, "customer")
+    pick = F.element_at(
+        F.array(*[F.lit(a) for a in agents]),
+        ((F.col("c_custkey") * 2654435761) % 5).cast("int") + 1,
+    )
+    return c.select("c_custkey", pick.alias("ua"))
+
+
+@register(
     "ngram_shingle_jaccard_pairs",
     f"""
     WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks

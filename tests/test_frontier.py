@@ -79,6 +79,58 @@ def test_site_discard_at_enqueue(spark):
     assert f.count() == 2
 
 
+def test_first_arrival_equals_window_dedup(spark):
+    """first_arrival (min-struct hash agg) must pick exactly the rows
+    row_number()=1 over (PARTITION BY key ORDER BY order) would."""
+    from pyspark.sql import Window
+
+    from crunchy_spark.frontier import first_arrival
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 211).alias("sha_int"),
+        F.col("id").alias("seq"),
+        ((F.col("id") * 37) % 100).alias("payload"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("txt"),
+    )
+    got = {
+        tuple(r)
+        for r in first_arrival(df, "sha_int", ("seq",)).collect()
+    }
+    w = Window.partitionBy("sha_int").orderBy("seq")
+    want = {
+        tuple(r)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want
+
+
+def test_first_arrival_multi_order_cols(spark):
+    from pyspark.sql import Window
+
+    from crunchy_spark.frontier import first_arrival
+
+    df = spark.range(500).select(
+        (F.col("id") % 31).alias("sha_int"),
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 13).alias("b"),
+        F.col("id").alias("v"),
+    )
+    got = {tuple(r) for r in first_arrival(df, "sha_int", ("a", "b")).collect()}
+    w = Window.partitionBy("sha_int").orderBy("a", "b")
+    want = {
+        tuple(r)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want
+
+
 def test_seed_dedup_keeps_first_arrival(spark):
     u = "https://crunchbase.com/organization/a"
     seeds = spark.createDataFrame(
