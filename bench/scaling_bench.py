@@ -32,7 +32,7 @@ bound work (shuffle sorts, hash aggs, cache writes) degrades earlier
 than that pure-compute curve. The low pairs isolate the engine's
 parallel fraction from the hypervisor's throttling.
 
-Usage:  python bench/scaling_bench.py [n_urls]     (default 4,000,000)
+Usage:  python bench/scaling_bench.py [n_urls]     (default 16,000,000)
 Writes BENCH_SCALING.md + bench/scaling_result.json at the repo root.
 """
 
@@ -223,8 +223,8 @@ with the same job at two parallelism levels on identical input (seed=42,
 overlap). Each level runs in its own subprocess (fresh JVM), executes one
 untimed warm-up (JIT + codegen + python-worker spawn are per-executor
 one-time costs in a real deployment, not per-round costs), then reports
-the MIN of 3 timed executions (noise-robust under the sandbox's
-noisy-neighbor CPU starvation; all 3 walls recorded in
+the MIN of 5 timed executions (noise-robust under the sandbox's
+noisy-neighbor CPU starvation; all 5 walls recorded in
 bench/scaling_result.json).
 
 Measured job (production code paths): read frontier parquet -> RFC-3986
