@@ -15,7 +15,7 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import schemas
@@ -87,9 +87,13 @@ def _to_frontier_rows(cands: DataFrame, round_id: int, n_images: int) -> DataFra
 
 def assign_seq(new_rows: DataFrame, base_seq: int) -> DataFrame:
     """FIFO arrival index continuation: deterministic order by
-    (parent fetch order, position in page)."""
-    w = Window.orderBy("_parent_order", "_pos", "sha_int")
-    out = new_rows.withColumn("seq", F.row_number().over(w) + F.lit(base_seq))
+    (parent fetch order, position in page) — parallel range-sorted rank
+    (frontier.global_fifo_rank), no single-partition global window."""
+    from .frontier import global_fifo_rank
+
+    out = global_fifo_rank(
+        new_rows, ("_parent_order", "_pos", "sha_int"), "seq", base=base_seq
+    )
     return out.drop("_parent_order", "_pos", "_is_continuation").select(
         [f.name for f in schemas.FRONTIER.fields]
     )

@@ -39,6 +39,53 @@ def image_id_col(sha_int, n_images: int):
     return F.format_string("img%010d", F.pmod(sha_int, F.lit(n_images)))
 
 
+def global_fifo_rank(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    out_col: str,
+    base: int = 0,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Total-order index 1..n by ``order_cols``, without a single-partition
+    global window.
+
+    Phase 1: range-repartition + sort-within-partitions by the order key
+    (Spark's parallel total sort). Phase 2: per-partition row_number plus
+    a per-partition offset computed from the (tiny, n_parts-row) count
+    census collected to the driver. At 10^8-row rounds every task ranks
+    only its range slice; the single-partition `Window.orderBy()` this
+    replaces would funnel the whole round through one task."""
+    cols = list(order_cols)
+    ranged = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    # localCheckpoint: repartitionByRange SAMPLES to pick boundaries, so
+    # without materialization the census job and the rank job could see
+    # different partitionings (offset/content mismatch = wrong ranks),
+    # and the upstream would compute twice besides.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets = {}
+    acc = base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid, off in sorted(offsets.items()) for x in (pid, off)]
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_pid.withColumn(out_col, F.row_number().over(w).cast("long") + offset_col)
+        .drop("_pid")
+    )
+
+
 def first_arrival(
     df: DataFrame, key_col: str = "sha_int", order_cols: tuple[str, ...] = ("seq",)
 ) -> DataFrame:

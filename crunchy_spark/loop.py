@@ -115,10 +115,12 @@ class CrawlEngine:
             salt_k=self.conf.salt_k,
             global_budget=self.conf.global_budget,
         )
-        # the crawl order, assigned deterministically (W2: FIFO via seq)
-        worder = Window.orderBy("queue_rank", "seq")
-        selected = selected.withColumn(
-            "fetch_seq", F.row_number().over(worder) + F.lit(base_fetch_seq)
+        # the crawl order, assigned deterministically (W2: FIFO via seq) —
+        # parallel range-sorted rank, no single-partition global window
+        from .frontier import global_fifo_rank
+
+        selected = global_fifo_rank(
+            selected, ("queue_rank", "seq"), "fetch_seq", base=base_fetch_seq
         ).localCheckpoint()
         n_selected = selected.count()
         if n_selected == 0:
