@@ -129,8 +129,13 @@ class CrawlEngine:
         payloads = fetch_payloads(
             selected, self.images, self.page_meta, max_attempts=self.conf.max_attempts
         )
+        # one bytes-free materialization serves every metadata consumer
+        # (status flip, lineage, fetch log, parse join); the bytes-bearing
+        # fetch join executes exactly once, feeding the decoder.
+        meta = payloads.drop("bytes").localCheckpoint()
         fetched = payloads.filter(F.col("fetch_status") == "fetched")
-        parsed = parse_fetched(fetched, round_id).localCheckpoint()
+        fetched_meta = meta.filter(F.col("fetch_status") == "fetched")
+        parsed = parse_fetched(fetched, round_id, slim=fetched_meta).localCheckpoint()
 
         # -- items sink (S8/S11/S12: drop internals; MERGE-by-URL happens at
         # read time over append segments, see items())
@@ -156,7 +161,7 @@ class CrawlEngine:
         )
 
         # -- frontier status flip (S9/S10: ack/nack as a column update)
-        upd = payloads.select(
+        upd = meta.select(
             F.col("sha_int").alias("u_sha"),
             F.col("fetch_status"),
             F.col("fetch_reason"),
@@ -202,7 +207,7 @@ class CrawlEngine:
 
         # -- lineage counters (A9 / north_rule): per-partition status counts
         lineage_new = (
-            payloads.groupBy(
+            meta.groupBy(
                 F.spark_partition_id().alias("partition_id"),
                 "site",
                 F.col("fetch_status").alias("status"),
@@ -213,7 +218,7 @@ class CrawlEngine:
         )
 
         # -- fetch log (every pop, in order — the parity artifact)
-        log_new = payloads.select(
+        log_new = meta.select(
             "fetch_seq",
             F.lit(round_id).alias("round"),
             "url_canon",

@@ -57,17 +57,25 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def parse_fetched(payloads: DataFrame, round_id: int) -> DataFrame:
+def parse_fetched(
+    payloads: DataFrame, round_id: int, slim: DataFrame | None = None
+) -> DataFrame:
     """Parse successfully fetched payloads into the ITEM superset schema.
 
     Input: fetch_payloads output filtered to fetch_status=='fetched'.
     Continuation pages (url ends '/similar') yield no item — the caller
     splits them off for frontier expansion (reference: similar-companies
     continuation request, spiders/crunchy.py:216-228).
+
+    ``slim``: optionally pass an already-materialized bytes-free copy of
+    the same rows (loop.run_round checkpoints one) so the fetch join
+    isn't recomputed for the metadata side — the bytes-bearing subtree
+    then executes exactly once, feeding the decoder.
     """
     decode_in = payloads.select("url_sha1", "bytes", "caption")
     decoded = decode_in.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
-    slim = payloads.drop("bytes")  # heavy column never shuffles
+    if slim is None:
+        slim = payloads.drop("bytes")  # heavy column never shuffles
     joined = slim.join(decoded, "url_sha1", "inner")
     return (
         joined.withColumn("normalized_domain", scalars.normalized_domain_col(F.col("website")))
