@@ -1222,6 +1222,36 @@ def event_windowed_counts(spark, sf_dir):
 
 
 @register(
+    "facet_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(bucket, -1) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS v
+    FROM (SELECT event_type, (user_id % 3)::INT AS bucket, value FROM events)
+    GROUP BY CUBE(event_type, bucket)
+    """,
+)
+def facet_cube(spark, sf_dir):
+    """A9+: metrics rollup via CUBE — all (site,status)-style grouping-set
+    combinations in one pass (the lineage/queue-depth monitoring rollup
+    the reference polls per-queue, rabbitmq/manager.py:188-213, computed
+    here as a single grouping-sets aggregate)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).cast("int").alias("bucket"), "value"
+    )
+    return (
+        ev.cube("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("bucket", F.lit(-1)).alias("bucket"),
+            "n",
+            "v",
+        )
+    )
+
+
+@register(
     "json_extract_props",
     """
     SELECT (regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT % 10) AS k_mod, count(*) AS n
