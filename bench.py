@@ -67,17 +67,29 @@ def main() -> None:
         print(f"# {name}: {dt}s rows={n}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # surface the authoritative BASELINE metric (frontier URLs
+    # scheduled+deduped/sec + N->4N efficiency) from the latest
+    # bench/scaling_bench.py run, if one exists
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_result.json"
     )
+    try:
+        with open(scaling_path) as f:
+            s = json.load(f)
+        result["frontier_urls_per_sec_local32"] = s["runs"]["32"]["urls_per_sec"]
+        result["scaling_efficiency"] = s["scaling_efficiency"]
+        result["scaling_primary_pair"] = s["primary_pair"]
+        result["scaling_pass"] = s["pass"]
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
