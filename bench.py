@@ -87,8 +87,29 @@ def main() -> None:
         result["scaling_efficiency"] = s["scaling_efficiency"]
         result["scaling_primary_pair"] = s["primary_pair"]
         result["scaling_pass"] = s["pass"]
-    except Exception:
-        pass
+        if "scaling_pass_per_pair" in s:
+            result["scaling_pass_per_pair"] = s["scaling_pass_per_pair"]
+            result["scaling_efficiency_vs_ceiling"] = s.get(
+                "scaling_efficiency_vs_ceiling"
+            )
+        # provenance: these numbers come from the last scaling_bench run,
+        # not from this bench invocation — say when/where, never silently
+        result["scaling_measured_at"] = s.get("generated_at", "unknown")
+        result["scaling_measured_host"] = s.get("host", "unknown")
+        if os.uname().nodename != s.get("host", os.uname().nodename):
+            print(
+                "# WARNING: scaling_result.json was measured on a different "
+                f"host ({s.get('host')}); re-run bench/scaling_bench.py here",
+                file=sys.stderr,
+            )
+    except FileNotFoundError:
+        print(
+            "# WARNING: bench/scaling_result.json missing — frontier "
+            "throughput + scaling efficiency omitted; run bench/scaling_bench.py",
+            file=sys.stderr,
+        )
+    except (KeyError, ValueError) as e:
+        print(f"# WARNING: bench/scaling_result.json unreadable ({e!r})", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -172,6 +172,9 @@ def run_in_subprocess(master: str, cores: int, data_dir: str) -> dict:
 
 
 PAIRS = [(2, 8), (4, 16), (8, 32)]
+# this VM's raw-CPU scaling ceiling per pair (pure-Python busy-loop
+# fleet, measured 2026-08-17; see module docstring table)
+CEILING = {"2_to_8": 0.886, "4_to_16": 0.90, "8_to_32": 0.73}
 
 
 def main() -> None:
@@ -196,15 +199,31 @@ def main() -> None:
         eff = runs[lo]["wall_s"] / (4.0 * runs[hi]["wall_s"])
         pairs[f"{lo}_to_{hi}"] = round(eff, 3)
     primary = pairs["2_to_8"]
+    # per-pair pass flags + hardware-ceiling-normalized efficiency, so a
+    # single `pass` field never certifies only the most favorable pair:
+    # CEILING[pair] is this VM's measured raw-CPU scaling cap (pure-Python
+    # busy-loop fleet, no Spark — see module docstring); normalized
+    # efficiency = measured / ceiling, i.e. the share of the achievable
+    # (not nominal) 4x the engine delivers.
+    pass_flags = {k: v >= 0.8 for k, v in pairs.items()}
+    normalized = {
+        k: round(pairs[k] / CEILING[k], 3) for k in pairs if k in CEILING
+    }
     result = {
         "metric": "frontier_urls_scheduled_deduped_per_sec",
         "n_urls": n,
         "runs": runs,
         "scaling_efficiency": pairs,
+        "scaling_pass_per_pair": pass_flags,
+        "hardware_ceiling": CEILING,
+        "scaling_efficiency_vs_ceiling": normalized,
         "primary_pair": "local[2] -> local[8]",
         "primary_efficiency": primary,
         "target": 0.8,
         "pass": primary >= 0.8,
+        "pass_semantics": "primary pair (local[2]->local[8]) only; see scaling_pass_per_pair",
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "host": os.uname().nodename,
     }
     print(json.dumps(result))
     with open(os.path.join(REPO, "bench", "scaling_result.json"), "w") as f:

@@ -154,11 +154,14 @@ def filter_unseen(
     seen_keys = seen.select("sha_int").hint("shuffle_hash")
     if not use_bloom or bloom is None:
         return candidates.join(seen_keys, "sha_int", "left_anti")
-    # persist before branching: both the definitely-new and maybe-seen
-    # branches read the probed set, and without a persist Catalyst would
-    # recompute the whole upstream subtree (scan + canonicalize UDF +
-    # dedup agg) once per branch.
-    probed = probe_bloom(candidates, bloom, n_buckets).persist()
+    # materialize before branching: both the definitely-new and maybe-seen
+    # branches read the probed set, and without it Catalyst would recompute
+    # the whole upstream subtree (scan + canonicalize UDF + dedup agg) once
+    # per branch. localCheckpoint (not persist): its RDD blocks are
+    # reclaimed by the ContextCleaner when the DataFrame is GC'd, so a
+    # long-running crawl (run_round x 10^4) doesn't accumulate pinned
+    # cache entries that only an explicit unpersist would free.
+    probed = probe_bloom(candidates, bloom, n_buckets).localCheckpoint()
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen_keys, "sha_int", "left_anti")

@@ -826,7 +826,7 @@ _SIG_AGREE_SQL = " + ".join(f"(sa.mh{i} = sb.mh{i})::INT" for i in range(16))
       SELECT c.a_id, c.b_id FROM cand c
       JOIN sig sa ON sa.doc_id = c.a_id
       JOIN sig sb ON sb.doc_id = c.b_id
-      WHERE ({_SIG_AGREE_SQL}) >= 12),
+      WHERE ({_SIG_AGREE_SQL}) >= 10),
     toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
     SELECT a_id, b_id,
            round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
@@ -838,15 +838,20 @@ _SIG_AGREE_SQL = " + ".join(f"(sa.mh{i} = sb.mh{i})::INT" for i in range(16))
 )
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs: 16 permutations, 2 bands of 8 ->
-    bucket-join -> signature-agreement prefilter (>= 12/16 matching
-    minhashes, i.e. estimated Jaccard >= 0.75 — 16 int compares per pair
+    bucket-join -> signature-agreement prefilter (>= 10/16 matching
+    minhashes, i.e. estimated Jaccard >= 0.625 — 16 int compares per pair
     instead of two array-set ops) -> verify true Jaccard >= 0.9. Only
     banded+agreed candidates are set-verified, never all O(n^2) pairs;
     on this intrinsically-similar corpus (median pairwise Jaccard 0.57)
     the bands alone pass ~19% of pairs and the agreement filter cuts the
     expensive verification to a sliver. The prefilter is part of the
-    operator's definition (mirrored in the oracle)."""
-    sig = _minhash_sigs(spark, sf_dir, 16).persist()
+    operator's definition (mirrored in the oracle), with a documented
+    false-negative rate: a true J=0.9 pair has signature agreement ~
+    Binomial(16, 0.9), so P(agreement <= 9) ~ 1.7e-4 — about 1 in 6,000
+    borderline pairs dropped (at J=0.95 it is ~2e-6). The previous
+    >= 12 cut lost ~0.5% of J=0.9 pairs; >= 10 keeps the verify-cost win
+    while making the recall loss negligible."""
+    sig = _minhash_sigs(spark, sf_dir, 16).localCheckpoint()
 
     def band(cols):
         return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
@@ -868,8 +873,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     for i in range(16):
         t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         agree = t if agree is None else agree + t
-    agreed = cj.filter(agree >= 12).select("a_id", "b_id")
-    d = _t(spark, sf_dir, "documents").select("doc_id", _toks_col().alias("toks")).persist()
+    agreed = cj.filter(agree >= 10).select("a_id", "b_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", _toks_col().alias("toks")).localCheckpoint()
     j = (
         agreed.join(d.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta")), "a_id")
         .join(d.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb")), "b_id")
@@ -1852,9 +1857,10 @@ def ngram_shingle_jaccard_pairs(spark, sf_dir):
     )
     s = d.select("doc_id", sh.alias("sh"))
     blk = F.array_min(F.transform(F.col("sh"), lambda x: _md5_int(x)))
-    # persist: the shingle+md5 subtree feeds both sides of the self-join;
-    # without it Spark computes the md5-per-shingle work twice
-    s = s.withColumn("blk", blk).withColumn("n_sh", F.size("sh")).persist()
+    # materialize: the shingle+md5 subtree feeds both sides of the
+    # self-join; without it Spark computes the md5-per-shingle work twice
+    # (localCheckpoint, so the blocks are GC-reclaimable — see bloom.py)
+    s = s.withColumn("blk", blk).withColumn("n_sh", F.size("sh")).localCheckpoint()
     a = s.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"),
                  F.col("n_sh").alias("na"), "blk")
     b = s.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"),
