@@ -66,6 +66,21 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt}s rows={n}", file=sys.stderr)
 
+    # LSH selectivity evidence: the banded block of embedding_neardup
+    # must stay a small fraction of all pairs (it is the scale argument)
+    from crunchy_spark.queries import emb_lsh_candidates
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = e.count()
+    n_cand = emb_lsh_candidates(e).count()
+    all_pairs = n_vec * (n_vec - 1) // 2
+    cand_frac = round(n_cand / all_pairs, 4) if all_pairs else 0.0
+    print(
+        f"# embedding_neardup LSH candidates: {n_cand}/{all_pairs} pairs "
+        f"({100 * cand_frac:.2f}% of all-pairs)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_query_wall_seconds",
@@ -73,6 +88,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "emb_lsh_candidate_fraction": cand_frac,
     }
     # surface the authoritative BASELINE metric (frontier URLs
     # scheduled+deduped/sec + N->4N efficiency) from the latest

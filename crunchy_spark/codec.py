@@ -87,6 +87,30 @@ def phash64(arr: np.ndarray) -> int:
 
 def gen_pixels(idx: int, w: int, h: int) -> np.ndarray:
     """The reference-decode generator: pure function of (seed=42, idx)
-    per FIXTURES.md §1 — tests recompute this to check PSNR/caption."""
+    per FIXTURES.md §1 — tests recompute this to check PSNR/caption.
+
+    Near-dup structure (drives the banded perceptual-hash dedup): every
+    idx % 4 == 1 image is its predecessor's pixels with k = 1+(idx//4)%6
+    of the 64 phash grid blocks inverted — Hamming(phash[idx-1],
+    phash[idx]) ~ k, giving designed near-dup pairs at distances 1..7
+    (plus occasional threshold-crossers from global-mean drift).
+    datagen pairs the dimensions of these rows so the perturbation is a
+    true pixel-space neighbor of the stored predecessor image."""
+    if idx % 4 == 1 and idx > 0:
+        arr = _noise_pixels(idx - 1, w, h).copy()
+        k = 1 + (idx // 4) % 6
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        for b in range(k):
+            blk = (idx * 7 + b * 13) % 64  # 13 is invertible mod 64 -> distinct blocks
+            i, j = blk // 8, blk % 8
+            arr[ys[i] : ys[i + 1], xs[j] : xs[j + 1]] = (
+                255 - arr[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            )
+        return arr
+    return _noise_pixels(idx, w, h)
+
+
+def _noise_pixels(idx: int, w: int, h: int) -> np.ndarray:
     rng = np.random.default_rng(42 + idx)
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)

@@ -73,10 +73,18 @@ def image_id_for(canon: str, n_images: int) -> str:
 # ---------------------------------------------------------------------------
 # images
 # ---------------------------------------------------------------------------
+def image_dims(idx: int) -> tuple[int, int]:
+    """Per-image dimensions; idx % 4 == 1 rows inherit their
+    predecessor's dims so codec.gen_pixels' near-dup perturbation is a
+    same-shape pixel neighbor of the stored idx-1 image."""
+    base = idx - 1 if (idx % 4 == 1 and idx > 0) else idx
+    return W_CYCLE[base % 4], H_CYCLE[base % 3]
+
+
 def gen_images_pdf(n: int) -> pd.DataFrame:
     rows = []
     for idx in range(n):
-        w, h = W_CYCLE[idx % 4], H_CYCLE[idx % 3]
+        w, h = image_dims(idx)
         fmt = "jpeg" if idx % 3 == 0 else "png"
         arr = codec.gen_pixels(idx, w, h)
         data = codec.encode_image(arr, fmt)

@@ -82,6 +82,7 @@ def _to_frontier_rows(cands: DataFrame, round_id: int, n_images: int) -> DataFra
         .withColumn("fetch_seq", F.lit(None).cast("long"))
         .withColumn("reason", F.lit(None).cast("string"))
         .withColumn("priority", F.lit(0.0))
+        .withColumn("state_round", F.lit(round_id))
     )
 
 

@@ -106,6 +106,24 @@ def first_arrival(
     ).select(*df.columns)
 
 
+def latest_state(
+    df: DataFrame, key_col: str = "sha_int", version_col: str = "state_round"
+) -> DataFrame:
+    """Keep the highest-version row per key — the merge-on-read view of a
+    delta-segmented table (Iceberg equality-delete semantics: an appended
+    row supersedes any earlier row with the same key).
+
+    Same map-side-combinable max(struct(version, payload)) shape as
+    first_arrival: the shuffle carries one row per (partition, key), not
+    the whole segment history."""
+    other = [c for c in df.columns if c != key_col and c != version_col]
+    packed = F.struct(*[F.col(c) for c in (version_col, *other)])
+    agg = df.groupBy(key_col).agg(F.max(packed).alias("_ls"))
+    return agg.select(
+        key_col, *[F.col(f"_ls.{c}").alias(c) for c in (version_col, *other)]
+    ).select(*df.columns)
+
+
 def seeds_to_frontier(seeds: DataFrame, n_images: int) -> DataFrame:
     """Canonicalize, dedup (keep first arrival), route, discard non-site
     URLs (reference: queue.py:155-168 validates URL against queue site)."""
@@ -123,6 +141,7 @@ def seeds_to_frontier(seeds: DataFrame, n_images: int) -> DataFrame:
         .withColumn("fetch_seq", F.lit(None).cast("long"))
         .withColumn("reason", F.lit(None).cast("string"))
         .withColumn("priority", F.coalesce(F.col("priority"), F.lit(0.0)))
+        .withColumn("state_round", F.lit(0))
     )
     return out.select([f.name for f in schemas.FRONTIER.fields])
 
@@ -133,6 +152,7 @@ def select_fetchable(
     round_seconds: float = 5.0,
     salt_k: int = 16,
     global_budget: int | None = None,
+    rows_per_salt: int | None = 4096,
 ) -> DataFrame:
     """The scheduler pop, as one declarative plan.
 
@@ -141,7 +161,18 @@ def select_fetchable(
     phase 1 ranks within (host, salt) and keeps <= budget per salt;
     phase 2 ranks the survivors within host and keeps exactly budget.
     A row in the host's true top-budget is in its salt's top-budget, so
-    phase 2 is exact.
+    phase 2 is exact — for ANY per-host salt count.
+
+    Adaptive salting (W3): when ``rows_per_salt`` is set, each host's
+    salt count comes from a pending-row census — k_host =
+    clamp(ceil(n_host / rows_per_salt), 1, salt_k) — so the mega-host
+    gets the full salt_k fan-out while a long tail of small hosts emits
+    no redundant phase-1 survivors (k=1 makes phase 1 already exact, so
+    phase 2 re-ranks only the rows it keeps).
+    The census is a map-side-combinable count (one row per host on the
+    shuffle) broadcast alongside the policy; at 10^8+ hosts both would
+    move to a bucketed map-side join, same as host_policy itself.
+    ``rows_per_salt=None`` restores the fixed-salt behavior.
 
     ``global_budget`` additionally caps the whole round by (queue_rank,
     seq) — reference-parity mode (the serial crawler is global_budget=1).
@@ -156,7 +187,21 @@ def select_fetchable(
         * F.coalesce(F.col("max_concurrent"), F.lit(1))
     ).cast("int")
     j = j.withColumn("_budget", budget)
-    j = j.withColumn("_salt", F.pmod(F.col("sha_int"), F.lit(salt_k)))
+    if rows_per_salt is not None:
+        census = pending.groupBy("host").agg(F.count("*").alias("_host_n"))
+        j = j.join(F.broadcast(census), "host", "left")
+        k_host = F.least(
+            F.lit(salt_k),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.coalesce(F.col("_host_n"), F.lit(1)) / F.lit(rows_per_salt)
+                ),
+            ),
+        )
+        j = j.withColumn("_salt", F.pmod(F.col("sha_int"), k_host)).drop("_host_n")
+    else:
+        j = j.withColumn("_salt", F.pmod(F.col("sha_int"), F.lit(salt_k)))
     w1 = Window.partitionBy("host", "_salt").orderBy("queue_rank", "seq")
     j = j.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("_budget"))
     w2 = Window.partitionBy("host").orderBy("queue_rank", "seq")

@@ -46,10 +46,14 @@ FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 class CrawlConfig:
     round_seconds: float = 5.0
     salt_k: int = 16
+    rows_per_salt: int | None = 4096  # adaptive per-host salting (W3)
     max_attempts: int = 3
     global_budget: int | None = None  # reference-parity mode when =1
     max_rounds: int = 10_000
     use_bloom: bool = True
+    # frontier delta segments tolerated before a compaction rewrite
+    # (Iceberg merge-on-read -> periodic rewrite_data_files analog)
+    compact_every: int = 8
     interested: list[str] = field(default_factory=lambda: list(INTERESTED_INDUSTRIES))
 
 
@@ -97,13 +101,66 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
+    def ingest_seeds(self, seeds: DataFrame) -> dict:
+        """Incremental seed ingestion into a live crawl (the reference
+        accepts POST /createCrawl at any time, api/views.py:19-42).
+        Later-arriving seeds canonicalize + dedup against the seen set
+        and enqueue AT THE TAIL: their seq continues after the current
+        max, exactly like a message landing at the end of a durable
+        queue — so they can never collide with, or jump ahead of,
+        already-assigned FIFO positions."""
+        from .frontier import global_fifo_rank
+
+        m = self.store.manifest()
+        base_seq = int(m["meta"]["max_seq"])
+        round_id = int(m["meta"]["round"])
+        seen = self.store.load(self.spark, "seen")
+        bloom = self.store.load(self.spark, "bloom")
+
+        rows = seeds_to_frontier(seeds, self.n_images)
+        fresh = filter_unseen(rows, seen, bloom=bloom, use_bloom=self.conf.use_bloom)
+        ranked = global_fifo_rank(
+            fresh.withColumnRenamed("seq", "_arrival"), ("_arrival",), "seq",
+            base=base_seq,
+        ).drop("_arrival")
+        new_rows = (
+            ranked.withColumn("round_added", F.lit(round_id))
+            .withColumn("state_round", F.lit(round_id))
+            .select(*FRONTIER_COLS)
+            .localCheckpoint()
+        )
+        n_new = new_rows.count()
+        if n_new == 0:
+            return {"ingested": 0}
+        seen_new = new_rows.select(
+            "url_sha1", "sha_int", "url_canon", "host", "round_added"
+        )
+        self.store.commit(
+            tables={"bloom": merge_blooms(bloom, build_bloom(new_rows))},
+            appends={"frontier": new_rows, "seen": seen_new},
+            meta={**m["meta"], "max_seq": base_seq + n_new},
+        )
+        return {"ingested": n_new}
+
+    # ------------------------------------------------------------------
+    def frontier_view(self) -> DataFrame:
+        """Merge-on-read frontier: latest state_round per sha_int across
+        the base segment + status-flip delta segments (Iceberg equality-
+        delete semantics). Single-segment tables skip the merge agg."""
+        from .frontier import latest_state
+
+        raw = self.store.load(self.spark, "frontier")
+        n_seg = len(self.store.manifest()["tables"]["frontier"])
+        return latest_state(raw, "sha_int", "state_round") if n_seg > 1 else raw
+
+    # ------------------------------------------------------------------
     def run_round(self) -> dict | None:
         """Run one round; returns stats, or None when the frontier is dry."""
         m = self.store.manifest()
         round_id = int(m["meta"]["round"]) + 1
         base_seq = int(m["meta"]["max_seq"])
         base_fetch_seq = int(m["meta"]["fetch_seq"])
-        frontier = self.store.load(self.spark, "frontier")
+        frontier = self.frontier_view()
         seen = self.store.load(self.spark, "seen")
         bloom = self.store.load(self.spark, "bloom")
 
@@ -114,6 +171,7 @@ class CrawlEngine:
             round_seconds=self.conf.round_seconds,
             salt_k=self.conf.salt_k,
             global_budget=self.conf.global_budget,
+            rows_per_salt=self.conf.rows_per_salt,
         )
         # the crawl order, assigned deterministically (W2: FIFO via seq) —
         # parallel range-sorted rank, no single-partition global window
@@ -160,45 +218,38 @@ class CrawlEngine:
             merge_blooms(bloom, build_bloom(new_rows)) if n_new else bloom
         )
 
-        # -- frontier status flip (S9/S10: ack/nack as a column update)
-        upd = meta.select(
-            F.col("sha_int").alias("u_sha"),
-            F.col("fetch_status"),
-            F.col("fetch_reason"),
-            F.col("fetch_seq").alias("u_fetch_seq"),
-        )
-        fr = frontier.join(upd, frontier["sha_int"] == upd["u_sha"], "left")
-        fr = (
-            fr.withColumn(
-                "status",
-                F.when(F.col("fetch_status") == "fetched", F.lit("fetched"))
+        # -- frontier status flip (S9/S10: ack/nack) as a DELTA, not a
+        # full-table rewrite: `meta` already carries the complete frontier
+        # row for every selected URL, so the flipped rows are derived
+        # row-locally (no join against the frontier) and APPENDED as a
+        # new segment stamped state_round=round_id; frontier_view()'s
+        # latest-state merge supersedes the old rows at read (Iceberg
+        # MERGE with equality deletes). Per-round write cost is
+        # O(selected + new), not O(frontier) — at a 10^10-row frontier
+        # with small rounds this is the difference between appending a
+        # round-sized file and rewriting the table every round.
+        flipped = meta.withColumns(
+            {
+                "status": F.when(F.col("fetch_status") == "fetched", F.lit("fetched"))
                 .when(F.col("fetch_status") == "deferred", F.lit("pending"))
-                .when(F.col("fetch_status") == "failed", F.lit("failed"))
-                .otherwise(F.col("status")),
-            )
-            .withColumn(
-                "attempt",
-                F.when(
+                .otherwise(F.lit("failed")),
+                "attempt": F.when(
                     F.col("fetch_status").isin("deferred", "failed"),
                     F.col("attempt") + 1,
                 ).otherwise(F.col("attempt")),
-            )
-            .withColumn(
-                "round_fetched",
-                F.when(F.col("fetch_status") == "fetched", F.lit(round_id)).otherwise(
-                    F.col("round_fetched")
-                ),
-            )
-            .withColumn(
-                "fetch_seq",
-                F.when(F.col("fetch_status") == "fetched", F.col("u_fetch_seq")).otherwise(
-                    F.col("fetch_seq")
-                ),
-            )
-            .withColumn("reason", F.coalesce(F.col("fetch_reason"), F.col("reason")))
-            .drop("u_sha", "fetch_status", "fetch_reason", "u_fetch_seq")
+                "round_fetched": F.when(
+                    F.col("fetch_status") == "fetched", F.lit(round_id)
+                ).otherwise(F.col("round_fetched")),
+                # pending rows always carry fetch_seq NULL, so the only
+                # non-null value to record is this round's rank on fetch
+                "fetch_seq": F.when(
+                    F.col("fetch_status") == "fetched", F.col("fetch_seq")
+                ).otherwise(F.lit(None).cast("long")),
+                "reason": F.coalesce(F.col("fetch_reason"), F.col("reason")),
+                "state_round": F.lit(round_id),
+            }
         )
-        frontier_out = fr.select(*FRONTIER_COLS).unionByName(new_rows)
+        frontier_delta = flipped.select(*FRONTIER_COLS).unionByName(new_rows)
 
         # -- seen delta (D1/D2: enqueue-time dedup identity)
         seen_new = new_rows.select(
@@ -229,20 +280,44 @@ class CrawlEngine:
             "attempt",
         )
 
-        self.store.commit(
-            tables={"frontier": frontier_out, "bloom": bloom_out},
-            appends={
-                "seen": seen_new,
-                "items": new_items,
-                "lineage": lineage_new,
-                "fetch_log": log_new,
-            },
-            meta={
-                "round": round_id,
-                "max_seq": int(max_seq),
-                "fetch_seq": int(base_fetch_seq + n_selected),
-            },
-        )
+        meta_out = {
+            "round": round_id,
+            "max_seq": int(max_seq),
+            "fetch_seq": int(base_fetch_seq + n_selected),
+        }
+        n_seg = len(m["tables"]["frontier"])
+        if n_seg + 1 > self.conf.compact_every:
+            # compaction round: fold every delta into a fresh base segment
+            # (Iceberg rewrite_data_files analog) so read amplification is
+            # bounded by compact_every. `frontier` is already the merged
+            # view of the current segments; the new delta supersedes it.
+            from .frontier import latest_state
+
+            compacted = latest_state(
+                frontier.unionByName(frontier_delta), "sha_int", "state_round"
+            )
+            self.store.commit(
+                tables={"frontier": compacted, "bloom": bloom_out},
+                appends={
+                    "seen": seen_new,
+                    "items": new_items,
+                    "lineage": lineage_new,
+                    "fetch_log": log_new,
+                },
+                meta=meta_out,
+            )
+        else:
+            self.store.commit(
+                tables={"bloom": bloom_out},
+                appends={
+                    "frontier": frontier_delta,
+                    "seen": seen_new,
+                    "items": new_items,
+                    "lineage": lineage_new,
+                    "fetch_log": log_new,
+                },
+                meta=meta_out,
+            )
         return {
             "round": round_id,
             "selected": n_selected,
@@ -250,13 +325,32 @@ class CrawlEngine:
         }
 
     # ------------------------------------------------------------------
+    def compact(self) -> None:
+        """Fold frontier delta segments into a single base segment
+        (Iceberg rewrite_data_files analog); manifest meta is preserved.
+        Also makes the raw parquet readable without the merge view —
+        run() compacts on drain so external snapshot readers see the
+        final frontier directly."""
+        m = self.store.manifest()
+        if len(m["tables"].get("frontier", [])) <= 1:
+            return
+        from .frontier import latest_state
+
+        merged = latest_state(
+            self.store.load(self.spark, "frontier"), "sha_int", "state_round"
+        )
+        self.store.commit(tables={"frontier": merged}, meta=m["meta"])
+
+    # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> list[dict]:
-        """Iterate rounds until the frontier is dry (T3 idle-loop analog)."""
+        """Iterate rounds until the frontier is dry (T3 idle-loop analog),
+        compacting the frontier's delta segments once drained."""
         stats = []
         limit = max_rounds if max_rounds is not None else self.conf.max_rounds
         for _ in range(limit):
             s = self.run_round()
             if s is None:
+                self.compact()
                 break
             stats.append(s)
         return stats

@@ -16,6 +16,7 @@ Reference operators covered per query are cited inline (file:line of
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1435,14 +1436,21 @@ def fuzzy_match_topk(spark, sf_dir):
            coalesce(tx_bal, cb_bal) AS funding_bal,
            coalesce(cb_year, tx_year) AS founded_year,
            CASE WHEN cb_name IS NOT NULL AND tx_name IS NOT NULL THEN 'both'
-                WHEN cb_name IS NOT NULL THEN 'cb' ELSE 'tx' END AS provenance
+                WHEN cb_name IS NOT NULL THEN 'cb' ELSE 'tx' END AS provenance,
+           'founded_year=' || (CASE WHEN cb_year IS NOT NULL THEN 'cb' ELSE 'tx' END)
+             || '|funding_bal=' || (CASE WHEN tx_bal IS NOT NULL THEN 'tx' ELSE 'cb' END)
+             || '|name=' || (CASE WHEN cb_name IS NOT NULL THEN 'cb' ELSE 'tx' END)
+             AS field_sources
     FROM agg_cb FULL OUTER JOIN agg_tx ON agg_cb.domain = agg_tx.domain
     """,
 )
 def golden_record(spark, sf_dir):
     """J6: golden-record merge with per-field source priority — name from
-    CB, funding from Tracxn, provenance recorded
-    (entity_resolver.py:38-50,225-301 SOURCE_PRIORITY)."""
+    CB, funding from Tracxn, row provenance AND a per-field source map
+    (entity_resolver.py:38-50,225-301 SOURCE_PRIORITY; the per-field
+    dict is models.py:125 / entity_resolver.py:251-258). The map is a
+    real MapType column; for the cross-engine compare it is rendered to
+    a sorted 'k=v|k=v' string (repo convention for non-scalar output)."""
     cb = (
         _cb_side(spark, sf_dir)
         .groupBy("domain")
@@ -1469,12 +1477,30 @@ def golden_record(spark, sf_dir):
         .when(F.col("cb_name").isNotNull(), F.lit("cb"))
         .otherwise(F.lit("tx"))
     )
+    # per-field provenance as a genuine MapType column...
+    src = lambda c, hit, miss: F.when(F.col(c).isNotNull(), F.lit(hit)).otherwise(  # noqa: E731
+        F.lit(miss)
+    )
+    field_map = F.create_map(
+        F.lit("name"), src("cb_name", "cb", "tx"),
+        F.lit("funding_bal"), src("tx_bal", "tx", "cb"),
+        F.lit("founded_year"), src("cb_year", "cb", "tx"),
+    )
+    # ...rendered to a key-sorted string for the order-insensitive compare
+    rendered = F.concat_ws(
+        "|",
+        F.transform(
+            F.array_sort(F.map_entries(field_map)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+    )
     return j.select(
         F.coalesce("cbd", "txd").alias("domain"),
         F.coalesce("cb_name", "tx_name").alias("name"),
         F.coalesce("tx_bal", "cb_bal").alias("funding_bal"),
         F.coalesce("cb_year", "tx_year").alias("founded_year"),
         prov.alias("provenance"),
+        rendered.alias("field_sources"),
     )
 
 
@@ -1581,23 +1607,103 @@ def image_resize(spark, sf_dir):
     )
 
 
-@register("phash_hamming_neardup")  # rows-only: fixture table not in oracle views
-def phash_hamming_neardup(spark, sf_dir):
-    """Near-dup image pairs by perceptual-hash Hamming distance
-    (bit_count(xor) — JVM-side, no UDF)."""
-    a = _images_df(spark, 64).select(
-        F.col("image_id").alias("a_id"), F.col("phash").alias("pa")
+PHASH_BANDS = 8
+PHASH_THRESH = PHASH_BANDS - 1  # pigeonhole-exact radius for 8 disjoint bands
+
+_IMAGES_META = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "images_meta.parquet",
+)
+
+
+def phash_band_pairs(meta: DataFrame, threshold: int = PHASH_THRESH) -> DataFrame:
+    """Near-dup pairs by perceptual-hash Hamming distance with multi-index
+    banded blocking (no all-pairs join anywhere).
+
+    The 64-bit phash splits into 8 disjoint 8-bit bands. Pigeonhole: a
+    pair at Hamming distance <= 7 has fewer differing bits than bands, so
+    at least one band is bit-identical — an equi-join on (band_id,
+    band_val) generates every qualifying pair EXACTLY (this is
+    multi-index hashing; radius covered = bands - 1). Candidates then
+    verify with exact bit_count(xor) <= threshold, all JVM-side.
+
+    At scale: the band join is a plain shuffle hash join keyed on
+    (band_id, band_val); no task ever sees more than one band-bucket, and
+    the phash column (8 bytes) is the only payload that rides the
+    candidate shuffle. Replaces the reference's exact-URL dupefilter
+    (rabbitmq/dupefilter.py:35-44) elevated to perceptual identity.
+    """
+    assert threshold < PHASH_BANDS, "pigeonhole guarantee requires threshold < bands"
+    bands = meta.select(
+        "image_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
     )
-    b = _images_df(spark, 64).select(
-        F.col("image_id").alias("b_id"), F.col("phash").alias("pb")
+    a = bands.select(F.col("image_id").alias("a_id"), "band_id", "band_val")
+    b = bands.select(
+        F.col("image_id").alias("b_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_val").alias("band_val_b"),
     )
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()  # a close pair can share several bands
+    )
+    pa = meta.select(F.col("image_id").alias("a_id"), F.col("phash").alias("pa"))
+    pb = meta.select(F.col("image_id").alias("b_id"), F.col("phash").alias("pb"))
     ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (
-        pairs.select("a_id", "b_id", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 16)
-        .orderBy("a_id", "b_id")
+        cand.join(pa, "a_id")
+        .join(pb, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
     )
+
+
+@register(
+    "phash_hamming_neardup",
+    f"""
+    WITH m AS (SELECT image_id, phash
+               FROM read_parquet('{_IMAGES_META}')),
+    bands AS (
+      SELECT image_id, i AS band_id, (phash >> (8 * i)) & 255 AS band_val
+      FROM m, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(i)),
+    cand AS (
+      SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.image_id < b.image_id)
+    SELECT a_id, b_id, bit_count(xor(ma.phash, mb.phash)) AS hamming
+    FROM cand
+    JOIN m ma ON ma.image_id = a_id
+    JOIN m mb ON mb.image_id = b_id
+    WHERE bit_count(xor(ma.phash, mb.phash)) <= {PHASH_THRESH}
+    """,
+)
+def phash_hamming_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the committed image-metadata
+    fixture (fixtures/images_meta.parquet — the bytes-free projection of
+    the deterministic image table, 256 images with ~55 designed near-dup
+    pairs at Hamming 1..7). The fixture is checked against datagen in
+    tests/test_datagen.py, and the banded plan is proven equal to the
+    brute-force all-pairs definition in tests/test_engine.py.
+    Ignores sf_dir: the phash universe is the image fixture, not the
+    TPC-H-ish tables (same data for Spark and the DuckDB oracle)."""
+    meta = spark.read.parquet(_IMAGES_META).select("image_id", "phash")
+    return phash_band_pairs(meta, PHASH_THRESH)
 
 
 # ===========================================================================
@@ -1881,69 +1987,174 @@ def ngram_shingle_jaccard_pairs(spark, sf_dir):
     )
 
 
-_BUCKET4_SQL = " || ".join(
-    f"(CASE WHEN embedding[{16 * i + 1}] > 0 THEN '1' ELSE '0' END)" for i in range(4)
-)
+# ---------------------------------------------------------------------------
+# Banded sign-hyperplane LSH for embedding near-dup (b bands x r bits).
+# 96 hyperplanes, each a 4-sparse +/-1 projection of the 64-dim vector,
+# drawn once from a seeded RNG at import so Spark and the DuckDB oracle
+# share the exact same hyperplane bank. All arithmetic is DOUBLE with
+# left-associated addition in BOTH engines, so the sign of a projection
+# near zero is bit-identical across them.
+# ---------------------------------------------------------------------------
+EMB_LSH_BANDS = 12
+EMB_LSH_BITS = 9  # bits per band
+
+
+def _hyperplane_spec(
+    n_bits: int = EMB_LSH_BANDS * EMB_LSH_BITS,
+    nnz: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    spec = []
+    for _ in range(n_bits):
+        dims = rng.choice(dim, size=nnz, replace=False)
+        signs = rng.choice([-1.0, 1.0], size=nnz)
+        spec.append(list(zip(dims.tolist(), signs.tolist())))
+    return spec
+
+
+_HP_SPEC = _hyperplane_spec()
+
+
+def _hp_band_cols():
+    """12 band-value Columns (each packs 8 sign bits into an int)."""
+    bands = []
+    for b in range(EMB_LSH_BANDS):
+        val = None
+        for j in range(EMB_LSH_BITS):
+            proj = None
+            for d, s in _HP_SPEC[EMB_LSH_BITS * b + j]:
+                t = F.lit(s) * F.element_at("embedding", d + 1).cast("double")
+                proj = t if proj is None else proj + t
+            bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        bands.append(val)
+    return bands
+
+
+def _hp_band_sql() -> str:
+    """The same 12 packed band values as DuckDB SQL expressions."""
+    outs = []
+    for b in range(EMB_LSH_BANDS):
+        bits = []
+        for j in range(EMB_LSH_BITS):
+            terms = " + ".join(
+                f"({s:+.1f} * (embedding[{d + 1}]::DOUBLE))"
+                for d, s in _HP_SPEC[EMB_LSH_BITS * b + j]
+            )
+            bits.append(f"((CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END) * {1 << j})")
+        outs.append("(" + " + ".join(bits) + ")")
+    return ", ".join(f"{o} AS band{b}" for b, o in enumerate(outs))
+
+
+def emb_lsh_candidates(e: DataFrame) -> DataFrame:
+    """OR-of-bands LSH candidate pairs (a_id < b_id, distinct) — the
+    block of embedding_neardup_cosine, exposed so bench.py can measure
+    the candidate fraction vs all pairs."""
+    # band values in their OWN projection (12 separate medium-sized
+    # expressions), then a trivial posexplode over the column refs — with
+    # all 96 bit expressions inlined into the Generate node's array the
+    # generated Java exceeds Janino's 64KB method cap and the whole stage
+    # falls back to interpreted evaluation; as Project expressions they
+    # get split into sub-methods and stay codegen'd.
+    bv = e.select(
+        "vec_id", *[c.alias(f"_band{i}") for i, c in enumerate(_hp_band_cols())]
+    )
+    bands = bv.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"_band{i}") for i in range(EMB_LSH_BANDS)])
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(F.col("vec_id").alias("a_id"), "band_id", "band_val")
+    b = bands.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
 
 
 @register(
     "embedding_neardup_cosine",
     f"""
-    WITH b AS (SELECT vec_id,
-                      list_transform({_TO_D.format(c='embedding')},
-                        x -> x / sqrt(list_dot_product({_TO_D.format(c='embedding')},
-                                                       {_TO_D.format(c='embedding')}))) AS emb,
-                      ({_BUCKET4_SQL}) AS bucket FROM embeddings),
-    s AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
-            round(list_dot_product(a.emb, c.emb), 4) AS cos_sim
-          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    WITH bv AS (SELECT vec_id, {_hp_band_sql()} FROM embeddings),
+    bands AS (SELECT vec_id,
+                     unnest({list(range(EMB_LSH_BANDS))}) AS band_id,
+                     unnest([{", ".join(f"band{b}" for b in range(EMB_LSH_BANDS))}]) AS band_val
+              FROM bv),
+    cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM bands a
+             JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                         AND a.vec_id < b.vec_id),
+    n AS (SELECT vec_id,
+                 list_transform({_TO_D.format(c='embedding')},
+                   x -> x / sqrt(list_dot_product({_TO_D.format(c='embedding')},
+                                                  {_TO_D.format(c='embedding')}))) AS emb
+          FROM embeddings),
+    s AS (SELECT a_id, b_id, round(list_dot_product(na.emb, nb.emb), 4) AS cos_sim
+          FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
     SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.35
     """,
 )
 def embedding_neardup_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: 4-bit sign-LSH bucket blocking
-    (dims 0/16/32/48) -> exact cosine within bucket -> threshold. Vectors
-    are L2-normalized ONCE per row (n ops) so the O(pairs) loop is a
-    single dot product instead of three. The bucket equi-join bounds
-    candidates to ~n^2/16 per bucket instead of the full cross product;
-    at 100 TB the bucket key is also the shuffle partition key so each
-    executor scores only its hyperoctant."""
+    """Embedding-cosine near-dup pairs via banded sign-hyperplane LSH:
+    12 bands x 8 bits (96 seeded 4-sparse +/-1 hyperplanes), OR-of-bands
+    candidate union, exact cosine verify >= 0.35.
+
+    Scale shape: each vector explodes into 12 (band_id, band_val) keys;
+    candidates come from an equi-join on that key — a plain shuffle hash
+    join, never an all-pairs product. For near-orthogonal vectors a band
+    collides with p ~ 2^-9, so expected candidates ~ 12/512 ~ 2.3% of
+    all pairs at ANY corpus size (the old 4-bit/16-bucket scheme put
+    n/16 vectors in each bucket — quadratic at scale; measured here:
+    ~2.9% of all-pairs at sf0.01, logged by bench.py). Embedding arrays
+    stay OUT of the candidate join: ids only, vectors re-joined for the
+    O(candidates) verify with a codegen'd unrolled 64-term dot product.
+
+    The block is part of the operator definition (oracle mirrors it, as
+    with ngram_shingle_jaccard_pairs). Recall under the random-hyperplane
+    model (P[bit agree] = 1 - theta/pi): ~97% for cos >= 0.9 pairs, ~41%
+    at cos 0.6, ~14% at the 0.35 boundary — the production near-dup
+    regime (cos -> 1) is where the banding is essentially lossless."""
     e = _t(spark, sf_dir, "embeddings")
 
-    def to_d(c):
-        return F.transform(c, lambda x: x.cast("double"))
+    cand = emb_lsh_candidates(e)
 
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t
+        )
 
-    bucket = F.concat(
-        *[
-            F.when(F.col("embedding").getItem(16 * i) > 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(4)
-        ]
-    )
-    emb_d = to_d(F.col("embedding"))
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # norm computed ONCE per row in its own projection — inlining it in
+    # the transform lambda would re-fold the 64-dim dot per element
     pre = e.select(
-        "vec_id", emb_d.alias("emb0"),
-        F.sqrt(dot(emb_d, emb_d)).alias("nrm"), bucket.alias("bucket"),
+        "vec_id", emb_d.alias("emb0"), F.sqrt(dot(emb_d, emb_d)).alias("nrm")
     )
-    b = pre.select(
-        "vec_id",
-        F.transform(F.col("emb0"), lambda x: x / F.col("nrm")).alias("emb"),
-        "bucket",
-    ).persist()
-    a = b.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("ea"), "bucket")
-    c = b.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("eb"), F.col("bucket").alias("bucketb")
+    norm = pre.select(
+        "vec_id", F.transform("emb0", lambda x: x / F.col("nrm")).alias("emb")
     )
-    pairs = a.join(c, (F.col("bucket") == F.col("bucketb")) & (F.col("a_id") < F.col("b_id")))
+    na = norm.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("ea"))
+    nb = norm.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("eb"))
+    pairs = cand.join(na, "a_id").join(nb, "b_id")
     # unrolled 64-term dot: element_at chains stay inside whole-stage
     # codegen, unlike the interpreted higher-order aggregate() fold —
-    # this is the O(pairs) inner loop, so codegen matters. Left-assoc
-    # addition preserves the fold's float semantics exactly.
-    terms = [
-        F.element_at("ea", i + 1) * F.element_at("eb", i + 1) for i in range(64)
-    ]
+    # this is the O(candidates) inner loop, so codegen matters. Left-
+    # assoc addition matches the oracle's list_dot_product fold order.
+    terms = [F.element_at("ea", i + 1) * F.element_at("eb", i + 1) for i in range(64)]
     dot_unrolled = terms[0]
     for t in terms[1:]:
         dot_unrolled = dot_unrolled + t
@@ -2012,4 +2223,101 @@ def union_dedup_tokens(spark, sf_dir):
         .distinct()
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "nation_customer_roster",
+    """
+    SELECT n.n_name AS nation,
+           array_to_string(list_sort(list_distinct(list(c.c_name))), '|') AS roster,
+           count(*) AS n_high_balance
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal >= 9000.0
+    GROUP BY n.n_name
+    """,
+)
+def nation_customer_roster(spark, sf_dir):
+    """A7/J7: 1-hop join + COLLECT aggregation — the reference's most
+    common Cypher shape, `MATCH (c)-[:OF]->(n) RETURN n, COLLECT(DISTINCT
+    c.name)` (knowledgeGraph/db.py:19-21,58,103). sort_array(collect_set)
+    joined to a string per the repo's array-output convention; the filter
+    bounds roster size so the collected array stays O(group slice), and
+    the agg is a plain hash aggregate (collect_set partials combine
+    map-side)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 9000.0)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("c_name"))).alias("roster"),
+            F.count("*").alias("n_high_balance"),
+        )
+    )
+
+
+@register(
+    "fuzzy_ratio_topk",
+    """
+    WITH p AS (SELECT p_partkey, p_brand,
+                      array_to_string(list_sort(string_split(p_name, ' ')), ' ')
+                        AS sorted_name
+               FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             round(100.0 * (1.0 - levenshtein(a.sorted_name, b.sorted_name)::DOUBLE
+                   / greatest(len(a.sorted_name), len(b.sorted_name))), 1) AS ratio
+      FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey),
+    ranked AS (SELECT a_key, b_key, ratio,
+                      row_number() OVER (PARTITION BY a_key
+                                         ORDER BY ratio DESC, b_key) AS rnk
+               FROM pairs)
+    SELECT a_key, b_key, ratio, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def fuzzy_ratio_topk(spark, sf_dir):
+    """F6 in the query surface: token_sort_ratio matching — sort the name
+    tokens, rejoin, score the sorted strings with an edit-distance ratio
+    100*(1 - lev/maxlen) — the construction of the reference's
+    entity_resolver.py:76-95 (thefuzz token_sort_ratio) as used by the
+    stage-2 resolver (resolve_entities.py:158-164). The ratio is defined
+    identically in Spark (F.levenshtein) and DuckDB (levenshtein()) so
+    the oracle is exact; scalars.token_sort_ratio_udf is the
+    difflib-backed API twin for Python callers, kept off this hot path
+    (JVM levenshtein codegen vs per-row Python). Brand blocking keeps
+    the pair space linear in block size; top-3 per part via a
+    block-partitioned window (W4)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.concat_ws(" ", F.sort_array(F.split("p_name", " "))).alias("sorted_name"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("sorted_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("sorted_name").alias("name_b"),
+    )
+    ratio = F.round(
+        100.0
+        * (
+            1.0
+            - F.levenshtein("name_a", "name_b").cast("double")
+            / F.greatest(F.length("name_a"), F.length("name_b"))
+        ),
+        1,
+    )
+    pairs = a.join(
+        b, (F.col("brand_a") == F.col("brand_b")) & (F.col("a_key") != F.col("b_key"))
+    ).select("a_key", "b_key", ratio.alias("ratio"))
+    w = Window.partitionBy("a_key").orderBy(F.desc("ratio"), "b_key")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("a_key", "b_key", "ratio", "rnk")
     )

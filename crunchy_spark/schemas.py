@@ -32,6 +32,10 @@ IMAGES = T.StructType(
 # queue_rank: 0=spider(continuation), 1=tracxn, 2=crunchbase — the
 # reference's 3-level priority (scheduler.py:51-52,136-162).
 # seq: FIFO arrival index within the whole frontier (total order key).
+# state_round: version stamp of this row state — the frontier is stored
+# as delta segments (Iceberg merge-on-read with equality deletes: an
+# appended row supersedes earlier rows with the same sha_int) and the
+# read view keeps max(state_round) per key; see loop.py.
 # ---------------------------------------------------------------------------
 FRONTIER = T.StructType(
     [
@@ -52,6 +56,7 @@ FRONTIER = T.StructType(
         T.StructField("round_fetched", T.IntegerType(), True),
         T.StructField("fetch_seq", T.LongType(), True),
         T.StructField("reason", T.StringType(), True),
+        T.StructField("state_round", T.IntegerType(), False),
     ]
 )
 

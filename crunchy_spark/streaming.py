@@ -36,6 +36,35 @@ SEED_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+# the queue-message JSON body (reference: api/views.py:19-42 producer)
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("entry_point", T.StringType(), True),
+        T.StructField("queue", T.StringType(), True),
+        T.StructField("priority", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_seed_messages(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """S4: queue-message decode with bare-URL fallback — a message body
+    is either a JSON dict or a plain URL string (rabbitmq/queue.py:79-92
+    `json.loads` with except-pass fallback). from_json yields NULL on
+    malformed input, so coalesce(parsed.url, raw) routes JSON bodies
+    through the schema and treats everything else as a bare URL; non-URL
+    garbage is discarded downstream by site validation (queue.py:155-168
+    -> frontier.seeds_to_frontier). Pure column expressions — no per-row
+    Python."""
+    parsed = F.from_json(F.col(value_col), MESSAGE_SCHEMA)
+    return df.select(
+        F.coalesce(parsed["url"], F.col(value_col)).alias("url"),
+        parsed["entry_point"].alias("entry_point"),
+        parsed["queue"].alias("queue"),
+        F.coalesce(parsed["priority"], F.lit(0.0)).alias("priority"),
+        *[c for c in df.columns if c != value_col],
+    )
+
 
 def stream_seed_ingest(
     spark: SparkSession,
@@ -137,6 +166,62 @@ def host_health_stream(fetch_results: DataFrame):
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# T3': the streaming ROUND loop — the reference's long-running consumer
+# (rabbitmq/spiders.py:14-16 run-forever spider, scheduler.py:164-169
+# DontCloseSpider idle loop) as a Structured Streaming query.
+# ---------------------------------------------------------------------------
+def stream_crawl(
+    spark: SparkSession,
+    store,
+    fixtures_dir: str,
+    seed_dir: str,
+    checkpoint_dir: str,
+    conf=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming crawl rounds: readStream watches ``seed_dir`` for
+    arriving seed batches; each micro-batch bootstraps the frontier (first
+    batch) or tail-ingests the new seeds (CrawlEngine.ingest_seeds), then
+    drains crawl rounds with the SAME batch round plan via foreachBatch.
+
+    Exactly-once: every round is an atomic snapshot commit and seed
+    ingestion dedups against the seen set, so a replayed micro-batch
+    (post-crash redelivery) re-ingests zero rows and re-drains an
+    already-dry frontier — the idempotent-MERGE upgrade of the
+    reference's at-least-once ack loop (pipelines.py:174-206).
+
+    With every seed file present before the first trigger this produces
+    the batch engine's exact crawl order; seeds arriving in later
+    micro-batches enqueue at the tail (arrival semantics), which changes
+    order but not the final seen/item sets — proven in
+    tests/test_streaming.py."""
+    from . import schemas
+    from .loop import CrawlEngine
+
+    engine = CrawlEngine(spark, store, fixtures_dir, conf)
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if store.current_version() < 0:
+            engine.bootstrap(batch)
+        else:
+            engine.ingest_seeds(batch)
+        engine.run()
+
+    reader = spark.readStream.schema(schemas.SEED)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(seed_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
 
 
 def read_kafka_items(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame | None:

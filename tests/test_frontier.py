@@ -144,3 +144,39 @@ def test_seed_dedup_keeps_first_arrival(spark):
     f = seeds_to_frontier(seeds, n_images=10).collect()
     assert len(f) == 1
     assert f[0]["seq"] == 0
+
+
+def test_adaptive_salt_equals_fixed_salt(spark, pending, policy):
+    """Adaptive per-host salt counts must not change the selection: the
+    two-phase ranking is exact for ANY salt count, so adaptive (census)
+    and fixed salting pick identical row sets."""
+    fixed = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, rows_per_salt=None
+    )
+    adaptive = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, rows_per_salt=3
+    )
+    fk = {(r["host"], r["seq"]) for r in fixed.select("host", "seq").collect()}
+    ak = {(r["host"], r["seq"]) for r in adaptive.select("host", "seq").collect()}
+    assert fk == ak
+
+
+def test_latest_state_keeps_highest_version(spark):
+    from crunchy_spark.frontier import latest_state
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, "pending", "a"),
+            (1, 2, "fetched", "a"),
+            (1, 1, "pending", "a"),
+            (2, 0, "pending", "b"),
+            (3, 3, "failed", "c"),
+        ],
+        "sha_int long, state_round int, status string, url string",
+    )
+    got = {tuple(r) for r in latest_state(df, "sha_int", "state_round").collect()}
+    assert got == {
+        (1, 2, "fetched", "a"),
+        (2, 0, "pending", "b"),
+        (3, 3, "failed", "c"),
+    }
