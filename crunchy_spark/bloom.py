@@ -56,6 +56,16 @@ def _bits_to_words(bits: np.ndarray) -> list[int]:
     return bits.view("<u8").view(np.int64).tolist()
 
 
+def adaptive_m_bits(
+    n_keys: int, n_buckets: int = DEFAULT_N_BUCKETS, bits_per_key: int = 10
+) -> int:
+    """Per-bucket bitmap width sized to the key count (pow2, >= 2^14):
+    round-delta blooms stay delta-sized instead of base-sized — the
+    LSM/SSTable per-segment-filter discipline."""
+    per_bucket = max(1, (n_keys * bits_per_key) // max(1, n_buckets))
+    return 1 << max(14, per_bucket.bit_length())
+
+
 def build_bloom(
     keys: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
@@ -101,35 +111,61 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").applyInPandas(orit, schema=BLOOM_SCHEMA)
 
 
-def probe_bloom(candidates: DataFrame, bloom: DataFrame, n_buckets: int) -> DataFrame:
-    """Adds a `_maybe_seen` column via a JVM-only bucket join + bit tests.
+def probe_bloom(
+    candidates: DataFrame, bloom: DataFrame | list[DataFrame], n_buckets: int
+) -> DataFrame:
+    """Adds a `_maybe_seen` column via JVM-only bucket join(s) + bit
+    tests.
 
-    The bitmap reaches executors once per bucket through the join (auto-
-    broadcast under the 64 MB threshold, shuffle-hash above it); the k
-    bit probes are whole-stage-codegen'd expressions — no Python worker,
-    no Arrow transfer, no recomputation-provoking join-back."""
-    b = bloom.select(F.col("bucket").alias("_bucket"), "words")
+    ``bloom`` may be a single filter or a LIST of segment filters (the
+    LSM/SSTable pattern: one delta bloom per crawl round, each sized to
+    its own key count — see the engine's delta commits). A key is
+    maybe-seen if ANY segment reports it; each segment gets its own
+    bucket join + test column, so one candidate row flows through
+    len(segments) sequential joins — no aggregate, no join-back, all
+    whole-stage-codegen. The per-segment bitmap reaches executors once
+    per bucket through its join (auto-broadcast under the threshold,
+    shuffle-hash above); overall FPR ~ sum of per-segment FPRs, bounded
+    by compaction folding segments back into one filter."""
+    segments = bloom if isinstance(bloom, list) else [bloom]
     ckeyed = candidates.withColumn(
         "_bucket", F.pmod(F.col("sha_int"), F.lit(n_buckets)).cast("int")
     )
-    j = ckeyed.join(b, "_bucket", "left")
-    maybe = F.when(F.col("words").isNull(), F.lit(False)).otherwise(_probe_tests())
-    return j.withColumn("_maybe_seen", maybe).drop("words", "_bucket")
+    tests = []
+    j = ckeyed
+    for i, seg in enumerate(segments):
+        b = seg.select(
+            F.col("bucket").alias("_bucket"), F.col("words").alias(f"_w{i}")
+        )
+        j = j.join(b, "_bucket", "left")
+        t = F.when(F.col(f"_w{i}").isNull(), F.lit(False)).otherwise(
+            _probe_tests(f"_w{i}")
+        )
+        tests.append(t)
+    maybe = tests[0]
+    for t in tests[1:]:
+        maybe = maybe | t
+    return j.withColumn("_maybe_seen", maybe).drop(
+        "_bucket", *[f"_w{i}" for i in range(len(segments))]
+    )
 
 
-def _probe_tests() -> F.Column:
+def _probe_tests(words_col: str = "words") -> F.Column:
     """The K_HASHES AND-ed bit tests, mirroring _indices: h1 = sha &
     0xFFFFFFFF, h2 = ((sha >> 28) | 1) & 0xFFFFFFFF, idx_i = (h1 + i*h2)
-    % m_bits, m_bits = size(words)*64. shiftright's arithmetic sign-fill
-    is harmless — only bit 0 of the shifted value is read."""
+    % m_bits, m_bits = size(words)*64 — each segment's own width, so
+    differently-sized delta blooms probe correctly. shiftright's
+    arithmetic sign-fill is harmless — only bit 0 of the shifted value
+    is read."""
+    w = words_col
     tests = []
     for i in range(K_HASHES):
         idx_sql = (
             f"pmod(((sha_int & 4294967295) + {i} * ((shiftright(sha_int, 28) | 1) "
-            f"& 4294967295)), size(words) * cast(64 as bigint))"
+            f"& 4294967295)), size({w}) * cast(64 as bigint))"
         )
         tests.append(
-            f"(shiftright(element_at(words, cast(({idx_sql}) div 64 as int) + 1), "
+            f"(shiftright(element_at({w}, cast(({idx_sql}) div 64 as int) + 1), "
             f"cast(({idx_sql}) % 64 as int)) & 1) = 1"
         )
     return F.expr("(" + ") AND (".join(tests) + ")")
@@ -138,7 +174,7 @@ def _probe_tests() -> F.Column:
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: DataFrame | None = None,
+    bloom: DataFrame | list[DataFrame] | None = None,
     use_bloom: bool = True,
     n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> DataFrame:

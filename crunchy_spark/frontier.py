@@ -152,7 +152,8 @@ def select_fetchable(
     round_seconds: float = 5.0,
     salt_k: int = 16,
     global_budget: int | None = None,
-    rows_per_salt: int | None = 4096,
+    census: DataFrame | None = None,
+    rows_per_salt: int = 4096,
 ) -> DataFrame:
     """The scheduler pop, as one declarative plan.
 
@@ -163,21 +164,38 @@ def select_fetchable(
     A row in the host's true top-budget is in its salt's top-budget, so
     phase 2 is exact — for ANY per-host salt count.
 
-    Adaptive salting (W3): when ``rows_per_salt`` is set, each host's
-    salt count comes from a pending-row census — k_host =
-    clamp(ceil(n_host / rows_per_salt), 1, salt_k) — so the mega-host
-    gets the full salt_k fan-out while a long tail of small hosts emits
-    no redundant phase-1 survivors (k=1 makes phase 1 already exact, so
-    phase 2 re-ranks only the rows it keeps).
-    The census is a map-side-combinable count (one row per host on the
-    shuffle) broadcast alongside the policy; at 10^8+ hosts both would
-    move to a bucketed map-side join, same as host_policy itself.
-    ``rows_per_salt=None`` restores the fixed-salt behavior.
+    Adaptive salting (W3): when ``census`` (host, n_pending) is given,
+    each host's salt count is k_host = clamp(ceil(n_pending /
+    rows_per_salt), 1, salt_k) — the mega-host gets the full salt_k
+    fan-out while a long tail of small hosts emits no redundant phase-1
+    survivors (k=1 makes phase 1 already exact, so phase 2 re-ranks
+    only the rows it keeps). The census is ENGINE-MAINTAINED state
+    (like the bloom): bootstrapped once, updated per round from
+    round-sized deltas (CrawlEngine.host_census_view) — computing it
+    HERE from ``pending`` would re-execute the whole upstream subtree a
+    second time (the Catalyst branch-recomputation trap; it cost 13% at
+    local[8] when this function briefly did so). Census counts only
+    pick k, so a stale census can never change WHICH rows are selected
+    — the two-phase rank is exact for any k. At 10^8+ hosts the
+    broadcast would move to a bucketed map-side join, same as
+    host_policy itself. ``census=None`` = fixed salting.
 
     ``global_budget`` additionally caps the whole round by (queue_rank,
     seq) — reference-parity mode (the serial crawler is global_budget=1).
     """
-    j = pending.join(F.broadcast(host_policy), "host", "left")
+    # the census folds into the SAME broadcast as the policy (one small-
+    # table join on the driver side of the broadcast, one exchange, one
+    # probe) — a separate census join added a second broadcast barrier
+    # that cost ~10% wall at local[8] for zero benefit
+    if census is not None:
+        pol = host_policy.join(
+            census.select("host", F.col("n_pending").alias("_host_n")),
+            "host",
+            "full_outer",
+        )
+    else:
+        pol = host_policy
+    j = pending.join(F.broadcast(pol), "host", "left")
     j = j.filter(F.coalesce(F.col("robots_allow"), F.lit(True)))
     budget = (
         F.greatest(
@@ -187,9 +205,7 @@ def select_fetchable(
         * F.coalesce(F.col("max_concurrent"), F.lit(1))
     ).cast("int")
     j = j.withColumn("_budget", budget)
-    if rows_per_salt is not None:
-        census = pending.groupBy("host").agg(F.count("*").alias("_host_n"))
-        j = j.join(F.broadcast(census), "host", "left")
+    if census is not None:
         k_host = F.least(
             F.lit(salt_k),
             F.greatest(

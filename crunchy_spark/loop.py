@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import schemas
-from .bloom import build_bloom, filter_unseen, merge_blooms
+from .bloom import build_bloom, filter_unseen
 from .datagen import INTERESTED_INDUSTRIES, fixture_meta
 from .expand import assign_seq, continuation_rows, expansion_candidates
 from .fetchsim import fetch_payloads
@@ -46,7 +46,8 @@ FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 class CrawlConfig:
     round_seconds: float = 5.0
     salt_k: int = 16
-    rows_per_salt: int | None = 4096  # adaptive per-host salting (W3)
+    adaptive_salt: bool = True  # per-host salt counts from the census (W3)
+    rows_per_salt: int = 4096
     max_attempts: int = 3
     global_budget: int | None = None  # reference-parity mode when =1
     max_rounds: int = 10_000
@@ -88,11 +89,15 @@ class CrawlEngine:
         empty_items = self.spark.createDataFrame([], schemas.ITEM)
         empty_lineage = self.spark.createDataFrame([], schemas.LINEAGE)
         empty_fetch_log = self.spark.createDataFrame([], schemas.FETCH_LOG)
+        from .bloom import adaptive_m_bits
+
+        census = frontier.groupBy("host").agg(F.count("*").alias("n_pending"))
         return self.store.commit(
             {
                 "frontier": frontier,
                 "seen": seen,
-                "bloom": build_bloom(seen),
+                "host_census": census,
+                "bloom": build_bloom(seen, m_bits=adaptive_m_bits(int(max_seq) + 1)),
                 "items": empty_items,
                 "lineage": empty_lineage,
                 "fetch_log": empty_fetch_log,
@@ -115,7 +120,7 @@ class CrawlEngine:
         base_seq = int(m["meta"]["max_seq"])
         round_id = int(m["meta"]["round"])
         seen = self.store.load(self.spark, "seen")
-        bloom = self.store.load(self.spark, "bloom")
+        bloom = self.store.load_segments(self.spark, "bloom")
 
         rows = seeds_to_frontier(seeds, self.n_images)
         fresh = filter_unseen(rows, seen, bloom=bloom, use_bloom=self.conf.use_bloom)
@@ -135,23 +140,73 @@ class CrawlEngine:
         seen_new = new_rows.select(
             "url_sha1", "sha_int", "url_canon", "host", "round_added"
         )
+        from .bloom import adaptive_m_bits
+
         self.store.commit(
-            tables={"bloom": merge_blooms(bloom, build_bloom(new_rows))},
-            appends={"frontier": new_rows, "seen": seen_new},
+            appends={
+                "frontier": new_rows,
+                "seen": seen_new,
+                "bloom": build_bloom(new_rows, m_bits=adaptive_m_bits(n_new)),
+                "host_census": new_rows.groupBy("host").agg(
+                    F.count("*").cast("long").alias("n_pending")
+                ),
+            },
             meta={**m["meta"], "max_seq": base_seq + n_new},
         )
         return {"ingested": n_new}
 
     # ------------------------------------------------------------------
+    # above this many delta rows the broadcast anti-join would strain the
+    # driver; fall back to the full latest-state aggregate (compaction
+    # keeps delta cardinality ~ compact_every * round_size, so the fast
+    # path is the norm)
+    BROADCAST_DELTA_MAX = 5_000_000
+
     def frontier_view(self) -> DataFrame:
-        """Merge-on-read frontier: latest state_round per sha_int across
-        the base segment + status-flip delta segments (Iceberg equality-
-        delete semantics). Single-segment tables skip the merge agg."""
+        """Merge-on-read frontier: base segment + status-flip delta
+        segments merged to latest state per sha_int (Iceberg equality-
+        delete semantics).
+
+        Fast path: deltas are round-sized while the base is the whole
+        frontier, so instead of a latest-state aggregate over everything
+        (a full shuffle of 10^10 rows per round) the base is anti-joined
+        against the BROADCAST delta key set — the base never shuffles —
+        and only the deltas go through the (tiny) latest-state agg. A
+        key present in any delta always supersedes the base row
+        (state_round is strictly newer by construction), so
+        base \\ delta_keys + latest(deltas) == latest(all segments)."""
+        import os as _os
+
         from .frontier import latest_state
 
-        raw = self.store.load(self.spark, "frontier")
-        n_seg = len(self.store.manifest()["tables"]["frontier"])
-        return latest_state(raw, "sha_int", "state_round") if n_seg > 1 else raw
+        segs = self.store.manifest()["tables"]["frontier"]
+        if len(segs) == 1:
+            return self.store.load(self.spark, "frontier")
+        base = self.spark.read.parquet(_os.path.join(self.store.root, segs[0]))
+        deltas = self.spark.read.parquet(
+            *[_os.path.join(self.store.root, p) for p in segs[1:]]
+        )
+        if deltas.count() > self.BROADCAST_DELTA_MAX:
+            return latest_state(
+                base.unionByName(deltas), "sha_int", "state_round"
+            )
+        latest = latest_state(deltas, "sha_int", "state_round")
+        untouched = base.join(
+            F.broadcast(latest.select("sha_int")), "sha_int", "left_anti"
+        )
+        return untouched.unionByName(latest)
+
+    # ------------------------------------------------------------------
+    def host_census_view(self) -> DataFrame:
+        """Per-host pending counts, merged across delta segments (a
+        tiny table: one row per host per segment; deltas may be
+        negative). Drives adaptive politeness salting without ever
+        re-scanning the frontier."""
+        raw = self.store.load(self.spark, "host_census")
+        n_seg = len(self.store.manifest()["tables"]["host_census"])
+        if n_seg == 1:
+            return raw
+        return raw.groupBy("host").agg(F.sum("n_pending").alias("n_pending"))
 
     # ------------------------------------------------------------------
     def run_round(self) -> dict | None:
@@ -162,15 +217,17 @@ class CrawlEngine:
         base_fetch_seq = int(m["meta"]["fetch_seq"])
         frontier = self.frontier_view()
         seen = self.store.load(self.spark, "seen")
-        bloom = self.store.load(self.spark, "bloom")
+        bloom = self.store.load_segments(self.spark, "bloom")
 
         pending = frontier.filter(F.col("status") == "pending")
+        census = self.host_census_view() if self.conf.adaptive_salt else None
         selected = select_fetchable(
             pending,
             self.host_policy,
             round_seconds=self.conf.round_seconds,
             salt_k=self.conf.salt_k,
             global_budget=self.conf.global_budget,
+            census=census,
             rows_per_salt=self.conf.rows_per_salt,
         )
         # the crawl order, assigned deterministically (W2: FIFO via seq) —
@@ -214,9 +271,6 @@ class CrawlEngine:
         new_rows = assign_seq(fresh, base_seq).localCheckpoint()
         n_new = new_rows.count()
         max_seq = base_seq + n_new
-        bloom_out = (
-            merge_blooms(bloom, build_bloom(new_rows)) if n_new else bloom
-        )
 
         # -- frontier status flip (S9/S10: ack/nack) as a DELTA, not a
         # full-table rewrite: `meta` already carries the complete frontier
@@ -285,39 +339,70 @@ class CrawlEngine:
             "max_seq": int(max_seq),
             "fetch_seq": int(base_fetch_seq + n_selected),
         }
+        # per-round bloom DELTA, sized to its own key count (the
+        # LSM/SSTable per-segment-filter discipline): the base filter is
+        # never rewritten in a normal round — with the frontier delta
+        # above, NOTHING written per round scales with corpus size.
+        from .bloom import adaptive_m_bits
+
+        # census delta: +1 per newly-enqueued pending row, -1 per row
+        # that LEFT pending this round (fetched/failed; deferred returns
+        # to pending) — both frames are already round-sized in memory
+        census_plus = new_rows.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_pending")
+        )
+        census_minus = (
+            meta.filter(F.col("fetch_status") != "deferred")
+            .groupBy("host")
+            .agg((-F.count("*")).cast("long").alias("n_pending"))
+        )
+        appends = {
+            "frontier": frontier_delta,
+            "seen": seen_new,
+            "items": new_items,
+            "lineage": lineage_new,
+            "fetch_log": log_new,
+            "host_census": census_plus.unionByName(census_minus),
+        }
+        if n_new:
+            appends["bloom"] = build_bloom(
+                new_rows, m_bits=adaptive_m_bits(n_new)
+            )
         n_seg = len(m["tables"]["frontier"])
         if n_seg + 1 > self.conf.compact_every:
-            # compaction round: fold every delta into a fresh base segment
-            # (Iceberg rewrite_data_files analog) so read amplification is
-            # bounded by compact_every. `frontier` is already the merged
-            # view of the current segments; the new delta supersedes it.
+            # compaction round: fold frontier deltas into a fresh base
+            # segment (Iceberg rewrite_data_files analog) and rebuild the
+            # bloom from the full seen set as ONE right-sized filter —
+            # read amplification and stacked-segment FPR both reset.
+            # `frontier` is already the merged view of the current
+            # segments; the new delta supersedes it.
             from .frontier import latest_state
 
             compacted = latest_state(
                 frontier.unionByName(frontier_delta), "sha_int", "state_round"
             )
+            census_folded = (
+                self.host_census_view()
+                .unionByName(appends.pop("host_census"))
+                .groupBy("host")
+                .agg(F.sum("n_pending").alias("n_pending"))
+            )
+            appends.pop("frontier")
+            appends.pop("bloom", None)
             self.store.commit(
-                tables={"frontier": compacted, "bloom": bloom_out},
-                appends={
-                    "seen": seen_new,
-                    "items": new_items,
-                    "lineage": lineage_new,
-                    "fetch_log": log_new,
+                tables={
+                    "frontier": compacted,
+                    "host_census": census_folded,
+                    "bloom": build_bloom(
+                        seen.unionByName(seen_new).select("sha_int"),
+                        m_bits=adaptive_m_bits(int(max_seq) + 1),
+                    ),
                 },
+                appends=appends,
                 meta=meta_out,
             )
         else:
-            self.store.commit(
-                tables={"bloom": bloom_out},
-                appends={
-                    "frontier": frontier_delta,
-                    "seen": seen_new,
-                    "items": new_items,
-                    "lineage": lineage_new,
-                    "fetch_log": log_new,
-                },
-                meta=meta_out,
-            )
+            self.store.commit(appends=appends, meta=meta_out)
         return {
             "round": round_id,
             "selected": n_selected,
@@ -327,19 +412,30 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def compact(self) -> None:
         """Fold frontier delta segments into a single base segment
-        (Iceberg rewrite_data_files analog); manifest meta is preserved.
-        Also makes the raw parquet readable without the merge view —
-        run() compacts on drain so external snapshot readers see the
-        final frontier directly."""
+        (Iceberg rewrite_data_files analog) and the per-round bloom
+        delta filters into one right-sized filter; manifest meta is
+        preserved. Also makes the raw parquet readable without the merge
+        view — run() compacts on drain so external snapshot readers see
+        the final frontier directly."""
         m = self.store.manifest()
-        if len(m["tables"].get("frontier", [])) <= 1:
-            return
+        tables = {}
+        from .bloom import adaptive_m_bits
         from .frontier import latest_state
 
-        merged = latest_state(
-            self.store.load(self.spark, "frontier"), "sha_int", "state_round"
-        )
-        self.store.commit(tables={"frontier": merged}, meta=m["meta"])
+        if len(m["tables"].get("frontier", [])) > 1:
+            tables["frontier"] = latest_state(
+                self.store.load(self.spark, "frontier"), "sha_int", "state_round"
+            )
+        if len(m["tables"].get("bloom", [])) > 1:
+            seen = self.store.load(self.spark, "seen")
+            tables["bloom"] = build_bloom(
+                seen.select("sha_int"),
+                m_bits=adaptive_m_bits(int(m["meta"].get("max_seq", 0)) + 1),
+            )
+        if len(m["tables"].get("host_census", [])) > 1:
+            tables["host_census"] = self.host_census_view()
+        if tables:
+            self.store.commit(tables=tables, meta=m["meta"])
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> list[dict]:

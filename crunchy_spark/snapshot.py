@@ -102,6 +102,19 @@ class SnapshotStore:
         paths = [os.path.join(self.root, p) for p in m["tables"][name]]
         return spark.read.parquet(*paths)
 
+    def load_segments(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> list[DataFrame]:
+        """One DataFrame per committed segment, oldest first — for tables
+        whose segments are NOT row-unioned at read (e.g. per-round bloom
+        delta filters, probed segment-wise)."""
+        m = self.manifest(version)
+        if name not in m["tables"]:
+            raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
+        return [
+            spark.read.parquet(os.path.join(self.root, p)) for p in m["tables"][name]
+        ]
+
     def has_table(self, name: str) -> bool:
         return name in self.manifest()["tables"]
 

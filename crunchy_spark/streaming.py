@@ -77,7 +77,12 @@ def stream_seed_ingest(
     (the RabbitMQ-producer analog, api/views.py:19-42), canonicalize +
     fingerprint each micro-batch, dedup WITHIN and ACROSS batches via
     foreachBatch anti-join against the sink (idempotent MERGE -> the
-    exactly-once upgrade of the reference's at-least-once ack loop)."""
+    exactly-once upgrade of the reference's at-least-once ack loop).
+
+    Scale note: this standalone helper re-reads the sink's key column per
+    micro-batch — fine for a seed feed (batches ~ sink growth), but the
+    production path is stream_crawl below, whose ingest_seeds dedups
+    through the engine's persistent bloom + seen snapshot instead."""
 
     def sink_batch(batch: DataFrame, epoch_id: int) -> None:
         spark_ = batch.sparkSession

@@ -45,3 +45,45 @@ def test_merge_is_union(spark):
     probed = probe_bloom(both, merged, 32)
     assert probed.filter(~F.col("_maybe_seen")).count() == 0
     assert merged.agg(F.sum("n_keys")).first()[0] == 200
+
+
+def test_segment_probe_is_union_of_segments(spark):
+    """LSM-style: a list of differently-sized delta filters probes as
+    'maybe seen if ANY segment says so', with no false negatives."""
+    a = _keys(spark, range(0, 4000, 2))
+    b = _keys(spark, range(1, 401, 2))  # much smaller delta
+    segs = [
+        build_bloom(a, m_bits=1 << 16),
+        build_bloom(b, m_bits=1 << 14),
+    ]
+    # different per-segment widths actually in play
+    wa = len(segs[0].first()["words"])
+    wb = len(segs[1].first()["words"])
+    assert wa != wb
+    both = _keys(spark, list(range(0, 4000, 2)) + list(range(1, 401, 2)))
+    probed = probe_bloom(both, segs, 32)
+    assert probed.filter(~F.col("_maybe_seen")).count() == 0
+
+
+def test_segment_filter_unseen_equals_exact(spark):
+    seen_a = _keys(spark, range(0, 3000, 3))
+    seen_b = _keys(spark, range(1, 1000, 3))
+    seen = seen_a.unionByName(seen_b)
+    cand = _keys(spark, range(0, 2000))
+    segs = [build_bloom(seen_a), build_bloom(seen_b, m_bits=1 << 14)]
+    with_bloom = {
+        r[0] for r in filter_unseen(cand, seen, bloom=segs, use_bloom=True).collect()
+    }
+    exact = {r[0] for r in cand.join(seen, "sha_int", "left_anti").collect()}
+    assert with_bloom == exact
+
+
+def test_adaptive_m_bits_monotone_pow2():
+    from crunchy_spark.bloom import adaptive_m_bits
+
+    sizes = [adaptive_m_bits(n) for n in (0, 100, 10_000, 1_000_000, 10_000_000)]
+    assert all(s & (s - 1) == 0 for s in sizes)  # powers of two
+    assert sizes == sorted(sizes)
+    assert sizes[0] == 1 << 14
+    # ~10 bits/key at scale (within the pow2 rounding band)
+    assert 10_000_000 * 10 / 32 <= sizes[-1] <= 10_000_000 * 40 / 32

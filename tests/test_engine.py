@@ -167,3 +167,32 @@ def test_compaction_folds_deltas(spark, unit_fixtures, tmp_path_factory):
     raw = store.load(spark, "frontier")
     assert raw.count() == raw.select("sha_int").distinct().count()
     assert raw.count() >= len(before)
+
+
+def test_host_census_tracks_pending_exactly(spark, unit_fixtures, tmp_path_factory):
+    """The engine-maintained census (bootstrapped once, delta-updated
+    per round) equals a fresh groupBy over the merged frontier's pending
+    rows after every round."""
+    store = SnapshotStore(str(tmp_path_factory.mktemp("census")))
+    eng = CrawlEngine(
+        spark, store, unit_fixtures, CrawlConfig(round_seconds=1e6, global_budget=60)
+    )
+    eng.bootstrap(
+        spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet").limit(150)
+    )
+    for _ in range(3):
+        if eng.run_round() is None:
+            break
+        got = {
+            r["host"]: r["n_pending"]
+            for r in eng.host_census_view().filter(F.col("n_pending") != 0).collect()
+        }
+        want = {
+            r["host"]: r["n"]
+            for r in eng.frontier_view()
+            .filter(F.col("status") == "pending")
+            .groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want

@@ -149,16 +149,18 @@ def test_seed_dedup_keeps_first_arrival(spark):
 def test_adaptive_salt_equals_fixed_salt(spark, pending, policy):
     """Adaptive per-host salt counts must not change the selection: the
     two-phase ranking is exact for ANY salt count, so adaptive (census)
-    and fixed salting pick identical row sets."""
-    fixed = select_fetchable(
-        pending, policy, round_seconds=25.0, salt_k=8, rows_per_salt=None
-    )
-    adaptive = select_fetchable(
-        pending, policy, round_seconds=25.0, salt_k=8, rows_per_salt=3
-    )
+    and fixed salting pick identical row sets — even with a STALE census
+    (wrong counts only change k, never the rank order)."""
+    census = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
+    stale = census.withColumn("n_pending", F.col("n_pending") * 100 + 7)
+    fixed = select_fetchable(pending, policy, round_seconds=25.0, salt_k=8)
     fk = {(r["host"], r["seq"]) for r in fixed.select("host", "seq").collect()}
-    ak = {(r["host"], r["seq"]) for r in adaptive.select("host", "seq").collect()}
-    assert fk == ak
+    for c in (census, stale):
+        adaptive = select_fetchable(
+            pending, policy, round_seconds=25.0, salt_k=8, census=c, rows_per_salt=3
+        )
+        ak = {(r["host"], r["seq"]) for r in adaptive.select("host", "seq").collect()}
+        assert fk == ak
 
 
 def test_latest_state_keeps_highest_version(spark):
