@@ -1177,6 +1177,111 @@ def ann_lsh_bucket_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer: 16 fixed, seeded, 8-sparse +/-1 centroid
+# directions shared verbatim by Spark and the DuckDB oracle. Assignment
+# is argmax centroid-dot; no iterative kmeans — deterministic, and at
+# scale centroids would come from a sampled kmeans fit broadcast the
+# same way.
+# ---------------------------------------------------------------------------
+def _ivf_spec(n_cells: int = 16, nnz: int = 8, dim: int = 64, seed: int = 11):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        list(
+            zip(
+                rng.choice(dim, size=nnz, replace=False).tolist(),
+                rng.choice([-1.0, 1.0], size=nnz).tolist(),
+            )
+        )
+        for _ in range(n_cells)
+    ]
+
+
+_IVF_SPEC = _ivf_spec()
+
+
+def _ivf_dot_cols():
+    outs = []
+    for spec in _IVF_SPEC:
+        t = None
+        for d, s in spec:
+            term = F.lit(s) * F.element_at("embedding", d + 1).cast("double")
+            t = term if t is None else t + term
+        outs.append(t)
+    return outs
+
+
+def _ivf_dots_sql() -> str:
+    outs = []
+    for spec in _IVF_SPEC:
+        outs.append(
+            " + ".join(
+                f"({s:+.1f} * (embedding[{d + 1}]::DOUBLE))" for d, s in spec
+            )
+        )
+    return "[" + ", ".join(outs) + "]"
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cells AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS emb,
+                          list_position({_ivf_dots_sql()},
+                                        list_max({_ivf_dots_sql()})) AS cell
+                   FROM embeddings),
+    q AS (SELECT emb AS qe, cell AS qcell FROM cells WHERE vec_id = 0),
+    s AS (SELECT vec_id,
+        round(list_dot_product(emb, qe)
+          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+      FROM cells, q WHERE vec_id <> 0 AND cell = qcell)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: a 16-cell coarse quantizer (argmax dot against
+    fixed seeded centroid directions) partitions the corpus; the query
+    searches only its own cell, exact-cosine re-ranked. The inverted-
+    file counterpart to the LSH route: cell id is a materializable
+    partition key, so at scale the corpus is written bucketed by cell
+    and a query touches one partition (nprobe cells generalizes exactly
+    like multi-probe LSH). Both engines compute the same argmax over the
+    same left-assoc double sums, so the assignment is bit-identical —
+    ties resolve to the first max index in both (array_position /
+    list_position)."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    dots = F.array(*_ivf_dot_cols())
+    cells = e.select(
+        "vec_id",
+        to_d(F.col("embedding")).alias("emb"),
+        F.array_position(dots, F.array_max(dots)).alias("cell"),
+    )
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qe"), F.col("cell").alias("qcell")
+    )
+    j = cells.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("cell") == F.col("qcell")
+    )
+    sim = F.round(
+        dot(F.col("emb"), F.col("qe"))
+        / (F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        j.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
 @register(
     "embedding_norms",
     f"""
