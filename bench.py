@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_lsh_bucket_topk",
     "event_sessions",
     "entity_match_tiers",
+    "fuzzy_ratio_topk",
 ]
 
 
@@ -81,6 +82,25 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # fuzzy_ratio_topk block selectivity: (brand, name-prefix) block pair
+    # count, then the per-record FUZZY_CAND_CAP — post-cap work is
+    # O(n * CAP) regardless of block skew, which is the scale argument
+    from crunchy_spark.queries import FUZZY_CAND_CAP, _fuzzy_block_pairs, _fuzzy_blocked
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_part = part.count()
+    part_pairs = n_part * (n_part - 1)  # ordered pairs (a,b)+(b,a), like the join
+    n_blocked = _fuzzy_block_pairs(part).count()
+    n_capped = _fuzzy_blocked(part).count()
+    fuzzy_frac = round(n_capped / part_pairs, 6) if part_pairs else 0.0
+    print(
+        f"# fuzzy_ratio blocked pairs: {n_blocked}/{part_pairs} "
+        f"({100 * n_blocked / max(part_pairs, 1):.2f}%), capped@{FUZZY_CAND_CAP}: "
+        f"{n_capped} ({100 * fuzzy_frac:.2f}% of all ordered pairs, "
+        f"<= {FUZZY_CAND_CAP}/record by construction)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_query_wall_seconds",
@@ -89,6 +109,7 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "emb_lsh_candidate_fraction": cand_frac,
+        "fuzzy_capped_candidate_fraction": fuzzy_frac,
     }
     # surface the authoritative BASELINE metric (frontier URLs
     # scheduled+deduped/sec + N->4N efficiency) from the latest

@@ -62,6 +62,8 @@ def run_size(spark, n: int, fixtures_dir: str, workdir: str) -> list[dict]:
         t0 = time.time()
         s = eng.run_round()
         wall = time.time() - t0
+        if s is None:  # frontier drained (tiny sizes_csv arg)
+            break
         segs = store.manifest()["tables"]["frontier"]
         delta_rows = spark.read.parquet(os.path.join(store.root, segs[-1])).count()
         out.append(
@@ -85,6 +87,7 @@ def main() -> None:
         else [1_000_000, 4_000_000, 16_000_000]
     )
     from crunchy_spark import datagen
+    from crunchy_spark.loop import CrawlConfig
     from crunchy_spark.session import get_spark
 
     spark = get_spark(app_name="commit_bench", master="local[32]")
@@ -94,8 +97,10 @@ def main() -> None:
         fx = os.path.join(tmp, "fx")
         datagen.write_fixtures(spark, fx, scale="unit")
         for n in sizes:
-            rows += run_size(spark, n, fx, tmp)
-            print(f"# {rows[-2]}\n# {rows[-1]}", file=sys.stderr)
+            new = run_size(spark, n, fx, tmp)
+            rows += new
+            for r in new:
+                print(f"# {r}", file=sys.stderr)
 
     print(json.dumps({"metric": "frontier_commit_cost", "rounds": rows}))
     table = "\n".join(
@@ -104,7 +109,14 @@ def main() -> None:
         f"| {r['wall_s']} |"
         for r in rows
     )
-    first, last = rows[0], rows[-2]
+    if not rows:
+        print("# no completed rounds (frontier drained at every size); "
+              "BENCH_COMMIT.md not written", file=sys.stderr)
+        return
+    # first round at the smallest and largest sizes (round 2 can include
+    # compaction, so round 1 is the representative per-round cost)
+    first = rows[0]
+    last = next(r for r in reversed(rows) if r["round"] == 1)
     with open(os.path.join(REPO, "BENCH_COMMIT.md"), "w") as f:
         f.write(
             f"""# BENCH_COMMIT — frontier commit cost vs frontier size
@@ -114,7 +126,7 @@ host skew) at growing frontier sizes. Round-1's engine rewrote the whole
 frontier table per round; the delta-segment commit writes only the rows
 the round touched (status flips + new URLs), merged at read by
 latest-state-per-key (Iceberg merge-on-read with equality deletes,
-compaction every {8} segments and on drain).
+compaction every {CrawlConfig().compact_every} segments and on drain).
 
 | frontier rows | round | selected | frontier rows written | % of frontier | wall (s) |
 |---|---|---|---|---|---|

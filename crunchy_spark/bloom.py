@@ -43,8 +43,15 @@ DEFAULT_M_BITS = 1 << 20  # per-bucket bits (128 KiB) — fixture scale
 
 
 def _indices(shas: np.ndarray, m_bits: int) -> np.ndarray:
-    """(n, K_HASHES) bit indices via double hashing: h1 + i*h2 mod m."""
-    h1 = shas & 0xFFFFFFFF
+    """(n, K_HASHES) bit indices via double hashing: h1 + i*h2 mod m.
+
+    h1 skips the low 5 sha bits: buckets are pmod(sha, n_buckets) with
+    n_buckets <= 32, so within a bucket the low 5 bits are (near-)
+    constant — deriving h1 from them would pin the first probe bit to a
+    1/32 slice of the pow2-width bitmap and inflate the effective FPR
+    past the bits/key sizing math. Must stay in lockstep with
+    _probe_tests."""
+    h1 = (shas >> 5) & 0xFFFFFFFF
     h2 = ((shas >> 28) | 1) & 0xFFFFFFFF
     i = np.arange(K_HASHES, dtype=np.uint64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
@@ -128,6 +135,10 @@ def probe_bloom(
     shuffle-hash above); overall FPR ~ sum of per-segment FPRs, bounded
     by compaction folding segments back into one filter."""
     segments = bloom if isinstance(bloom, list) else [bloom]
+    if not segments:
+        # no filter committed yet: nothing can be seen; keep the column
+        # contract so callers' branch logic works unchanged
+        return candidates.withColumn("_maybe_seen", F.lit(False))
     ckeyed = candidates.withColumn(
         "_bucket", F.pmod(F.col("sha_int"), F.lit(n_buckets)).cast("int")
     )
@@ -151,18 +162,20 @@ def probe_bloom(
 
 
 def _probe_tests(words_col: str = "words") -> F.Column:
-    """The K_HASHES AND-ed bit tests, mirroring _indices: h1 = sha &
-    0xFFFFFFFF, h2 = ((sha >> 28) | 1) & 0xFFFFFFFF, idx_i = (h1 + i*h2)
-    % m_bits, m_bits = size(words)*64 — each segment's own width, so
-    differently-sized delta blooms probe correctly. shiftright's
-    arithmetic sign-fill is harmless — only bit 0 of the shifted value
-    is read."""
+    """The K_HASHES AND-ed bit tests, mirroring _indices: h1 =
+    (sha >> 5) & 0xFFFFFFFF (skipping the bucket-correlated low bits —
+    see _indices), h2 = ((sha >> 28) | 1) & 0xFFFFFFFF, idx_i =
+    (h1 + i*h2) % m_bits, m_bits = size(words)*64 — each segment's own
+    width, so differently-sized delta blooms probe correctly.
+    shiftright's arithmetic sign-fill is harmless — only bit 0 of the
+    shifted value is read."""
     w = words_col
     tests = []
     for i in range(K_HASHES):
         idx_sql = (
-            f"pmod(((sha_int & 4294967295) + {i} * ((shiftright(sha_int, 28) | 1) "
-            f"& 4294967295)), size({w}) * cast(64 as bigint))"
+            f"pmod(((shiftright(sha_int, 5) & 4294967295) + {i} * "
+            f"((shiftright(sha_int, 28) | 1) & 4294967295)), "
+            f"size({w}) * cast(64 as bigint))"
         )
         tests.append(
             f"(shiftright(element_at({w}, cast(({idx_sql}) div 64 as int) + 1), "

@@ -152,6 +152,7 @@ class CrawlEngine:
                 ),
             },
             meta={**m["meta"], "max_seq": base_seq + n_new},
+            row_counts={"frontier": n_new},
         )
         return {"ingested": n_new}
 
@@ -186,7 +187,17 @@ class CrawlEngine:
         deltas = self.spark.read.parquet(
             *[_os.path.join(self.store.root, p) for p in segs[1:]]
         )
-        if deltas.count() > self.BROADCAST_DELTA_MAX:
+        # delta sizes are known at commit time and recorded in the
+        # manifest (Iceberg-style per-file record counts) — summing them
+        # avoids an extra Spark job scanning all delta parquet every
+        # round; counting is only the fallback for segments committed by
+        # writers that didn't record a count
+        seg_counts = self.store.segment_rows("frontier")[1:]
+        n_delta = (
+            sum(seg_counts) if all(c is not None for c in seg_counts)
+            else deltas.count()
+        )
+        if n_delta > self.BROADCAST_DELTA_MAX:
             return latest_state(
                 base.unionByName(deltas), "sha_int", "state_round"
             )
@@ -402,7 +413,14 @@ class CrawlEngine:
                 meta=meta_out,
             )
         else:
-            self.store.commit(appends=appends, meta=meta_out)
+            self.store.commit(
+                appends=appends,
+                meta=meta_out,
+                # flipped has one row per selected URL (meta is derived
+                # row-locally from the selection), so the delta size is
+                # known without another job
+                row_counts={"frontier": n_selected + n_new},
+            )
         return {
             "round": round_id,
             "selected": n_selected,

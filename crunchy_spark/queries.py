@@ -2127,7 +2127,8 @@ def ngram_shingle_jaccard_pairs(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Banded sign-hyperplane LSH for embedding near-dup (b bands x r bits).
-# 96 hyperplanes, each a 4-sparse +/-1 projection of the 64-dim vector,
+# 108 hyperplanes (12 bands x 9 bits), each a 4-sparse +/-1 projection
+# of the 64-dim vector,
 # drawn once from a seeded RNG at import so Spark and the DuckDB oracle
 # share the exact same hyperplane bank. All arithmetic is DOUBLE with
 # left-associated addition in BOTH engines, so the sign of a projection
@@ -2194,7 +2195,7 @@ def emb_lsh_candidates(e: DataFrame) -> DataFrame:
     the candidate fraction vs all pairs."""
     # band values in their OWN projection (12 separate medium-sized
     # expressions), then a trivial posexplode over the column refs — with
-    # all 96 bit expressions inlined into the Generate node's array the
+    # all 108 bit expressions inlined into the Generate node's array the
     # generated Java exceeds Janino's 64KB method cap and the whole stage
     # falls back to interpreted evaluation; as Project expressions they
     # get split into sub-methods and stay codegen'd.
@@ -2249,7 +2250,7 @@ def emb_lsh_candidates(e: DataFrame) -> DataFrame:
 )
 def embedding_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded sign-hyperplane LSH:
-    12 bands x 8 bits (96 seeded 4-sparse +/-1 hyperplanes), OR-of-bands
+    12 bands x 9 bits (108 seeded 4-sparse +/-1 hyperplanes), OR-of-bands
     candidate union, exact cosine verify >= 0.35.
 
     Scale shape: each vector explodes into 12 (band_id, band_val) keys;
@@ -2395,6 +2396,65 @@ def nation_customer_roster(spark, sf_dir):
     )
 
 
+FUZZY_CAND_CAP = 20  # per-record candidate cap, mirrors reference [:20]
+
+
+def _fuzzy_block_pairs(part_df: DataFrame) -> DataFrame:
+    """Blocked (pre-cap) candidate pairs for fuzzy_ratio_topk.
+
+    Block key = (p_brand, first token of the sorted name): the sorted-name
+    prefix grows with the name vocabulary (the reference's regex-prefix
+    blocking, resolve_entities.py:137-157), so blocks shrink as data
+    grows instead of staying 1/25th of the table the way a brand-only
+    block does. Within a block, each record keeps only its
+    FUZZY_CAND_CAP cheapest candidates — ranked by |len(a)-len(b)| (a
+    lower bound on levenshtein, so the discarded tail is the least
+    similar) with b_key as the deterministic tiebreak — before any
+    edit-distance is computed: the reference's top-20 candidate cap
+    (resolve_entities.py:155-157). Post-cap work is O(n * CAP)
+    regardless of block skew."""
+    p = part_df.select(
+        "p_partkey",
+        "p_brand",
+        F.concat_ws(" ", F.sort_array(F.split("p_name", " "))).alias("sorted_name"),
+        F.substring_index(
+            F.concat_ws(" ", F.sort_array(F.split("p_name", " "))), " ", 1
+        ).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("sorted_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("sorted_name").alias("name_b"),
+    )
+    return a.join(
+        b,
+        (F.col("brand_a") == F.col("brand_b"))
+        & (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("a_key") != F.col("b_key")),
+    ).select("a_key", "b_key", "name_a", "name_b")
+
+
+def _fuzzy_blocked(part_df: DataFrame) -> DataFrame:
+    """Capped candidates: _fuzzy_block_pairs trimmed to FUZZY_CAND_CAP
+    per a_key (see _fuzzy_block_pairs docstring for the rationale)."""
+    pairs = _fuzzy_block_pairs(part_df)
+    wc = Window.partitionBy("a_key").orderBy(
+        F.abs(F.length("name_a") - F.length("name_b")), "b_key"
+    )
+    return (
+        pairs.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= FUZZY_CAND_CAP)
+        .drop("crnk")
+    )
+
+
 @register(
     "fuzzy_ratio_topk",
     """
@@ -2402,15 +2462,28 @@ def nation_customer_roster(spark, sf_dir):
                       array_to_string(list_sort(string_split(p_name, ' ')), ' ')
                         AS sorted_name
                FROM part),
-    pairs AS (
+    p2 AS (SELECT p_partkey, p_brand, sorted_name,
+                  split_part(sorted_name, ' ', 1) AS blk
+           FROM p),
+    cand AS (
       SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-             round(100.0 * (1.0 - levenshtein(a.sorted_name, b.sorted_name)::DOUBLE
-                   / greatest(len(a.sorted_name), len(b.sorted_name))), 1) AS ratio
-      FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey),
+             a.sorted_name AS name_a, b.sorted_name AS name_b,
+             row_number() OVER (
+               PARTITION BY a.p_partkey
+               ORDER BY abs(len(a.sorted_name) - len(b.sorted_name)), b.p_partkey
+             ) AS crnk
+      FROM p2 a JOIN p2 b
+        ON a.p_brand = b.p_brand AND a.blk = b.blk
+       AND a.p_partkey <> b.p_partkey),
+    scored AS (
+      SELECT a_key, b_key,
+             round(100.0 * (1.0 - levenshtein(name_a, name_b)::DOUBLE
+                   / greatest(len(name_a), len(name_b))), 1) AS ratio
+      FROM cand WHERE crnk <= 20),
     ranked AS (SELECT a_key, b_key, ratio,
                       row_number() OVER (PARTITION BY a_key
                                          ORDER BY ratio DESC, b_key) AS rnk
-               FROM pairs)
+               FROM scored)
     SELECT a_key, b_key, ratio, rnk FROM ranked WHERE rnk <= 3
     """,
 )
@@ -2423,24 +2496,15 @@ def fuzzy_ratio_topk(spark, sf_dir):
     identically in Spark (F.levenshtein) and DuckDB (levenshtein()) so
     the oracle is exact; scalars.token_sort_ratio_udf is the
     difflib-backed API twin for Python callers, kept off this hot path
-    (JVM levenshtein codegen vs per-row Python). Brand blocking keeps
-    the pair space linear in block size; top-3 per part via a
-    block-partitioned window (W4)."""
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_brand",
-        F.concat_ws(" ", F.sort_array(F.split("p_name", " "))).alias("sorted_name"),
-    )
-    a = p.select(
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_brand").alias("brand_a"),
-        F.col("sorted_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_brand").alias("brand_b"),
-        F.col("sorted_name").alias("name_b"),
-    )
+    (JVM levenshtein codegen vs per-row Python).
+
+    Blocking is (brand, sorted-name first token) + a per-record
+    FUZZY_CAND_CAP candidate cap ranked by length difference (see
+    _fuzzy_blocked) — both mirrored verbatim in the oracle, so the
+    candidate set is identical across engines before scoring. Top-3 per
+    part via an a_key-partitioned window (W4); the cap window and the
+    rank window share the a_key hash partitioning, so the plan pays one
+    shuffle for both."""
     ratio = F.round(
         100.0
         * (
@@ -2450,12 +2514,94 @@ def fuzzy_ratio_topk(spark, sf_dir):
         ),
         1,
     )
-    pairs = a.join(
-        b, (F.col("brand_a") == F.col("brand_b")) & (F.col("a_key") != F.col("b_key"))
-    ).select("a_key", "b_key", ratio.alias("ratio"))
+    scored = _fuzzy_blocked(_t(spark, sf_dir, "part")).select(
+        "a_key", "b_key", ratio.alias("ratio")
+    )
     w = Window.partitionBy("a_key").orderBy(F.desc("ratio"), "b_key")
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("a_key", "b_key", "ratio", "rnk")
+    )
+
+
+@register(
+    "graph_three_hop",
+    """
+    WITH it AS (SELECT 'company:' || cast(p_partkey AS VARCHAR) AS c,
+                       string_split(p_name, ' ') AS founders,
+                       'industry:' || p_brand || '#' || p_type AS i
+                FROM part),
+    fc AS (SELECT DISTINCT c, 'founder:' || f AS f
+           FROM it, unnest(founders) AS u(f)
+           WHERE f IS NOT NULL AND f <> ''),
+    ci AS (SELECT DISTINCT c, i FROM it)
+    SELECT a.f AS founder, count(*) AS n_paths
+    FROM fc a JOIN ci x ON a.c = x.c
+              JOIN ci y ON x.i = y.i
+              JOIN fc b ON y.c = b.c
+    WHERE y.c <> a.c AND b.f <> a.f
+    GROUP BY a.f
+    """,
+)
+def graph_three_hop(spark, sf_dir):
+    """J9: Founder -> Company -> Industry -> Company -> Founder path
+    counts over the EXPORTED edge tables (graph.graph_edges), the
+    reference's get_founders_by_founder Cypher traversal
+    (knowledgeGraph/db.py:76-86) made aggregate.
+
+    The edge table is built by the S14 exporter from an items-shaped
+    frame synthesized off `part` (company = partkey, founders = name
+    tokens, industry = brand#type), so the traversal exercises the real
+    export path. The count itself never enumerates founder pairs:
+    with deg(f,i) = #companies founded by f in industry i,
+    nf(c) = #founders of c and M(i) = sum(nf(c) for c in i),
+    inclusion-exclusion over the c2<>c1 and f2<>f constraints gives
+
+      paths(f) = sum_i [ deg(f,i)*M(i) - sum_{c in f,i} nf(c)
+                         - deg(f,i)^2 + deg(f,i) ]
+
+    — three linear joins + group-bys (shuffle keyed on company, then
+    (founder, industry), M broadcast), O(edges) at any scale, where the
+    naive 4-way self-join is quadratic within each industry. The DuckDB
+    oracle IS that naive enumeration, so the hash-match proves the
+    algebra, not just the plumbing."""
+    from .graph import graph_edges
+
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("url_sha1"),
+        F.split("p_name", " ").alias("founders"),
+        F.array(F.concat_ws("#", "p_brand", "p_type")).alias("industries"),
+        F.expr("cast(array() as array<string>)").alias("similar_companies"),
+    )
+    edges = graph_edges(items)
+    fc = edges.filter(F.col("rel") == "FOUNDED_BY").select(
+        F.col("src_id").alias("c"), F.col("dst_id").alias("f")
+    )
+    ci = edges.filter(F.col("rel") == "IN_INDUSTRY").select(
+        F.col("src_id").alias("c"), F.col("dst_id").alias("i")
+    )
+    nf = fc.groupBy("c").agg(F.count("*").alias("nf"))
+    m = (
+        ci.join(nf, "c")
+        .groupBy("i")
+        .agg(F.sum("nf").alias("m_i"))
+    )
+    per_fi = (
+        fc.join(ci, "c")
+        .join(nf, "c")
+        .groupBy("f", "i")
+        .agg(F.count("*").alias("deg"), F.sum("nf").alias("s_nf"))
+    )
+    return (
+        per_fi.join(F.broadcast(m), "i")
+        .groupBy(F.col("f").alias("founder"))
+        .agg(
+            F.sum(
+                F.col("deg") * F.col("m_i")
+                - F.col("s_nf")
+                - F.col("deg") * F.col("deg")
+                + F.col("deg")
+            ).alias("n_paths")
+        )
     )

@@ -57,6 +57,7 @@ class SnapshotStore:
         tables: dict[str, DataFrame] | None = None,
         meta: dict[str, Any] | None = None,
         appends: dict[str, DataFrame] | None = None,
+        row_counts: dict[str, int] | None = None,
     ) -> int:
         """Atomically commit new state.
 
@@ -65,23 +66,37 @@ class SnapshotStore:
         ``appends`` — append a delta segment to the table's segment list
                       (Iceberg-style fast append; no rewrite of history) —
                       for append-only tables (seen/items/lineage/fetch_log).
+        ``row_counts`` — optional {table_name: row_count} for segments
+                      written in THIS commit; recorded in the manifest
+                      (Iceberg keeps per-data-file record counts the same
+                      way) so readers can size merge strategies without a
+                      counting job. Callers usually already hold these
+                      counts from their own localCheckpoint().count().
         Unchanged tables carry forward from the previous manifest.
         """
         prev = self.manifest()
         new_version = prev["version"] + 1
         table_paths = {k: list(v) for k, v in prev["tables"].items()}
+        seg_rows = dict(prev.get("segment_rows", {}))
+        counts = row_counts or {}
         for name, df in (tables or {}).items():
             rel = os.path.join("data", name, f"v{new_version:06d}")
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             table_paths[name] = [rel]
+            if name in counts:
+                seg_rows[rel] = int(counts[name])
         for name, df in (appends or {}).items():
             rel = os.path.join("data", name, f"v{new_version:06d}-delta")
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             table_paths.setdefault(name, []).append(rel)
+            if name in counts:
+                seg_rows[rel] = int(counts[name])
+        live = {p for paths in table_paths.values() for p in paths}
         manifest = {
             "version": new_version,
             "tables": table_paths,
             "meta": meta or {},
+            "segment_rows": {p: n for p, n in seg_rows.items() if p in live},
         }
         mpath = os.path.join(self.snap_dir, f"v{new_version:06d}.json")
         tmp = mpath + ".tmp"
@@ -114,6 +129,17 @@ class SnapshotStore:
         return [
             spark.read.parquet(os.path.join(self.root, p)) for p in m["tables"][name]
         ]
+
+    def segment_rows(
+        self, name: str, version: int | None = None
+    ) -> list[int | None]:
+        """Recorded row count per segment of ``name`` (oldest first),
+        None where the committing writer didn't record one."""
+        m = self.manifest(version)
+        if name not in m["tables"]:
+            raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
+        rows = m.get("segment_rows", {})
+        return [rows.get(p) for p in m["tables"][name]]
 
     def has_table(self, name: str) -> bool:
         return name in self.manifest()["tables"]

@@ -87,3 +87,13 @@ def test_adaptive_m_bits_monotone_pow2():
     assert sizes[0] == 1 << 14
     # ~10 bits/key at scale (within the pow2 rounding band)
     assert 10_000_000 * 10 / 32 <= sizes[-1] <= 10_000_000 * 40 / 32
+
+
+def test_empty_segment_list_means_no_filter(spark):
+    """probe_bloom([]) must behave as 'nothing seen yet', not crash —
+    the public API accepts any list, including a pre-bootstrap empty
+    one."""
+    cand = _keys(spark, range(50))
+    probed = probe_bloom(cand, [], 32)
+    assert probed.filter(F.col("_maybe_seen")).count() == 0
+    assert probed.count() == 50
