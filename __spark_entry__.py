@@ -28,21 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["crawl_schedule_dedup"](spark, "/root/testdata/sf0.001")
 
 
-# queries with no CORRECTNESS row in round 1 (plus round-2 additions)
-# go FIRST: if the driver ever caps or truncates its run, the rows we
-# most need recorded are the ones not yet on file.
+# Rotation policy (the driver caps CORRECTNESS at 50 rows/round): the
+# queries whose only evidence is the OLDEST round go first, then
+# queries changed or added THIS round, then the recently-green rest —
+# so every query's correctness row is at most 2 rounds old.
 _PRIORITY = [
-    "countif_diagnostics",
-    "string_ops",
-    "ua_choice",
-    "union_dedup_tokens",
-    "ngram_shingle_jaccard_pairs",
-    "embedding_neardup_cosine",
-    "media_frame_sample",
-    "phash_hamming_neardup",
-    "nation_customer_roster",
+    # evidence last recorded in round 1
+    "crawl_schedule_dedup",
+    "entity_match_tiers",
+    "facet_cube",
+    "filtered_facets",
+    "fuzzy_match_topk",
+    "graph_two_hop",
+    "image_decode_stats",
+    "image_resize",
+    "json_extract_props",
+    "orders_page_offset",
+    # changed or added in round 3
     "fuzzy_ratio_topk",
-    "golden_record",
+    "graph_three_hop",
+    "ann_ivf_topk",
 ]
 
 

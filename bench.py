@@ -101,6 +101,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # IVF recall/candidate tradeoff: mean scanned fraction and mean
+    # recall@5 vs exact cosine top-5 over 8 query vectors, at nprobe=1
+    # and the shipped IVF_NPROBE. This corpus is near-orthogonal random
+    # vectors (true top-5 at cos ~0.3), so recall tracks scanned
+    # fraction for ANY 16-cell coarse quantizer — the mechanism's
+    # recall lift on actually-clustered data (4-6x over chance) is
+    # pinned by tests/test_ivf.py::test_ivf_recall_on_clustered_corpus.
+    from crunchy_spark.queries import IVF_NPROBE, _ivf_recall_stats
+
+    qids = [i * max((n_vec - 1) // 8, 1) for i in range(8)]
+    ivf_stats = {}
+    for nprobe in sorted({1, IVF_NPROBE}):
+        st = _ivf_recall_stats(e, nprobe, qids)
+        ivf_stats[str(nprobe)] = st
+        print(
+            f"# ann_ivf nprobe={nprobe}: mean scanned fraction "
+            f"{st['scanned_fraction']}, mean recall@5 vs exact = "
+            f"{st['recall_at_5']} over {len(qids)} queries",
+            file=sys.stderr,
+        )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_query_wall_seconds",
@@ -110,6 +131,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "emb_lsh_candidate_fraction": cand_frac,
         "fuzzy_capped_candidate_fraction": fuzzy_frac,
+        "ivf_nprobe_tradeoff": ivf_stats,
     }
     # surface the authoritative BASELINE metric (frontier URLs
     # scheduled+deduped/sec + N->4N efficiency) from the latest

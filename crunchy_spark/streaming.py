@@ -75,17 +75,38 @@ def stream_seed_ingest(
 ):
     """Streaming seed ingestion: watch a directory of seed parquet files
     (the RabbitMQ-producer analog, api/views.py:19-42), canonicalize +
-    fingerprint each micro-batch, dedup WITHIN and ACROSS batches via
-    foreachBatch anti-join against the sink (idempotent MERGE -> the
-    exactly-once upgrade of the reference's at-least-once ack loop).
+    fingerprint each micro-batch, dedup WITHIN a batch via a seq-ordered
+    window and ACROSS batches through the engine's snapshot pattern — an
+    LSM-style bloom-segment prefilter plus exact anti-join against a
+    committed `seen` table (bloom.filter_unseen, the same path
+    CrawlEngine.ingest_seeds takes) — never by rescanning the sink.
 
-    Scale note: this standalone helper re-reads the sink's key column per
-    micro-batch — fine for a seed feed (batches ~ sink growth), but the
-    production path is stream_crawl below, whose ingest_seeds dedups
-    through the engine's persistent bloom + seen snapshot instead."""
+    Per-batch cost is O(batch + bloom-positive rows): the sink parquet
+    is never read back; the seen keys are a column-pruned snapshot scan
+    joined only against the maybe-seen subset.
+
+    Exactly-once across crashes: sink rows land in an epoch=N
+    subdirectory (overwrite mode — a replayed epoch rewrites the same
+    files), and the seen/bloom commit records the epoch AFTERWARD, so a
+    crash between the two replays the epoch idempotently while an
+    already-committed epoch is skipped outright. The state store lives
+    in out_dir/_seen_state ('_'-prefixed: invisible to parquet readers
+    of the sink)."""
+    import os
+
+    from .bloom import adaptive_m_bits, build_bloom, filter_unseen
+    from .snapshot import SnapshotStore
+
+    store = SnapshotStore(os.path.join(out_dir, "_seen_state"))
 
     def sink_batch(batch: DataFrame, epoch_id: int) -> None:
         spark_ = batch.sparkSession
+        bootstrapped = store.current_version() >= 0
+        last_epoch = (
+            int(store.manifest()["meta"].get("epoch", -1)) if bootstrapped else -1
+        )
+        if epoch_id <= last_epoch:
+            return  # replayed and fully committed — nothing to redo
         ident = with_url_identity(batch, "url")
         from pyspark.sql import Window
 
@@ -95,12 +116,36 @@ def stream_seed_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            existing = spark_.read.parquet(out_dir).select("sha_int").distinct()
-            fresh = fresh.join(existing, "sha_int", "left_anti")
-        except Exception:
-            pass  # first batch: sink empty
-        fresh.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+        if bootstrapped:
+            fresh = filter_unseen(
+                fresh,
+                store.load(spark_, "seen"),
+                bloom=store.load_segments(spark_, "bloom"),
+            )
+        fresh = fresh.localCheckpoint()
+        n_new = fresh.count()
+        # sink first (idempotent per-epoch overwrite), state commit last
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        keys = fresh.select("sha_int")
+        if not bootstrapped:
+            store.commit(
+                {"seen": keys, "bloom": build_bloom(keys, m_bits=adaptive_m_bits(n_new))},
+                meta={"epoch": epoch_id},
+            )
+        elif n_new > 0:
+            store.commit(
+                appends={
+                    "seen": keys,
+                    "bloom": build_bloom(keys, m_bits=adaptive_m_bits(n_new)),
+                },
+                meta={"epoch": epoch_id},
+                row_counts={"seen": n_new},
+            )
+        else:
+            # nothing new: just advance the epoch watermark
+            store.commit(meta={"epoch": epoch_id})
 
     reader = (
         spark.readStream.schema(SEED_STREAM_SCHEMA)

@@ -1,0 +1,69 @@
+"""IVF coarse-quantizer quality: on a corpus with REAL cluster
+structure (tight planted clusters, cos >= ~0.9 within), the seeded
+sparse-hyperplane quantizer routes true neighbors into the query's
+probed cells at a 4-6x recall lift over chance scanning (measured:
+recall 0.68 @ 15% scanned at nprobe=2, 0.87 @ 27% at nprobe=4),
+monotone in nprobe. This is the evidence the bench-corpus numbers
+can't give (its embeddings are near-orthogonal random vectors, where
+recall necessarily tracks scanned fraction for any quantizer)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from crunchy_spark.queries import IVF_NPROBE, _ivf_recall_stats
+
+N_CLUSTERS = 20
+PER_CLUSTER = 12
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    rng = np.random.RandomState(3)
+    centers = rng.randn(N_CLUSTERS, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.08 * rng.randn(DIM)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ivf_recall_on_clustered_corpus(clustered_embeddings):
+    # one query per cluster (the first member); its exact top-5 are
+    # cluster-mates, so recall measures whether the quantizer keeps
+    # clusters together. The routing claim: recall far above the
+    # scanned fraction (chance recall == scanned fraction), without
+    # scanning most of the corpus.
+    qids = [c * PER_CLUSTER for c in range(N_CLUSTERS)]
+    st = _ivf_recall_stats(clustered_embeddings, IVF_NPROBE, qids)
+    assert st["recall_at_5"] >= 4 * st["scanned_fraction"], st
+    assert st["recall_at_5"] >= 0.6, st
+    assert st["scanned_fraction"] <= 0.3, st
+    st4 = _ivf_recall_stats(clustered_embeddings, 4, qids)
+    assert st4["recall_at_5"] >= 0.8, st4
+
+
+def test_ivf_nprobe_monotone(clustered_embeddings):
+    """More probes never scan less or recall less (the nprobe knob is
+    monotone, which is what makes it a tuning knob at scale)."""
+    qids = [c * PER_CLUSTER for c in range(0, N_CLUSTERS, 4)]
+    prev_scan, prev_rec = -1.0, -1.0
+    for nprobe in (1, 2, 4):
+        st = _ivf_recall_stats(clustered_embeddings, nprobe, qids)
+        assert st["scanned_fraction"] >= prev_scan
+        assert st["recall_at_5"] >= prev_rec
+        prev_scan, prev_rec = st["scanned_fraction"], st["recall_at_5"]

@@ -50,6 +50,18 @@ def test_stream_seed_ingest_exactly_once_dedup(spark, tmp_path):
     assert out2.count() == 3
     assert out2.select("sha_int").distinct().count() == 3
 
+    # dedup state is the engine's snapshot pattern (seen + LSM bloom
+    # segments under out_dir/_seen_state), NOT a rescan of the sink:
+    # batch 2 appended a delta bloom segment next to the bootstrap one
+    from crunchy_spark.snapshot import SnapshotStore
+
+    store = SnapshotStore(f"{out_dir}/_seen_state")
+    m = store.manifest()
+    assert len(m["tables"]["bloom"]) == 2  # bootstrap + one delta
+    assert store.load(spark, "seen").count() == 3
+    # a replayed epoch is a no-op (epoch watermark in the state meta)
+    assert int(m["meta"]["epoch"]) >= 1
+
 
 def test_windowed_counts_match_batch_twin(spark):
     sf = "/root/testdata/sf0.001"
