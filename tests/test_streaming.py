@@ -219,3 +219,70 @@ def test_stream_crawl_two_batches_same_final_sets(
     items_ref = {r["url_canon"] for r in ref.items().collect()}
     items_got = {r["url_canon"] for r in got.items().collect()}
     assert items_got == items_ref
+
+
+def test_stream_crawl_segments_bounded_without_drain(
+    spark, unit_fixtures, tmp_path_factory
+):
+    """A long-lived trigger that NEVER drains must still keep snapshot
+    segment counts bounded. With max_rounds=1 per micro-batch the
+    drain-time compaction in run() never fires, so boundedness has to
+    come from run_round's in-round compaction (loop.py compact_every).
+    The invariant at ANY committed snapshot is compact_every + 1: a
+    seed-ingest commit may transiently append one segment beyond the
+    post-round bound before the next round commit folds everything.
+    Verified against EVERY manifest version the run produced (manifests
+    are kept on disk), not just the final one."""
+    import time
+
+    from crunchy_spark import schemas
+    from crunchy_spark.loop import CrawlConfig, CrawlEngine
+    from crunchy_spark.snapshot import SnapshotStore
+
+    seeds = spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet").filter(
+        F.col("seq") < 60
+    )
+    tmp = tmp_path_factory.mktemp("stream_bounded")
+    seed_dir, ckpt = str(tmp / "seeds"), str(tmp / "ckpt")
+    cols = [f.name for f in schemas.SEED.fields]
+    with_id = seeds.withColumn("image_id", F.lit(None).cast("string")).select(cols)
+    for i in range(6):
+        with_id.filter(
+            (F.col("seq") >= i * 10) & (F.col("seq") < (i + 1) * 10)
+        ).coalesce(1).write.parquet(f"{seed_dir}/wave{i}")
+
+    store = SnapshotStore(str(tmp / "store"))
+    conf = CrawlConfig(round_seconds=1e6, max_rounds=1, compact_every=3)
+    q = streaming.stream_crawl(
+        spark, store, unit_fixtures, seed_dir + "/*", ckpt,
+        conf=conf, max_files_per_trigger=1, available_now=False,
+    )
+    try:
+        deadline = time.time() + 600
+        while (
+            time.time() < deadline
+            and int(store.manifest()["meta"].get("round", -1)) < 6
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    m = store.manifest()
+    assert int(m["meta"]["round"]) >= 6  # six non-draining rounds ran
+    # the stream really never drained: pending work remains
+    eng = CrawlEngine(spark, store, unit_fixtures, conf)
+    assert eng.frontier_view().filter(F.col("status") == "pending").count() > 0
+
+    bound = conf.compact_every + 1
+    prev_frontier_segs = None
+    compactions = 0
+    for v in range(m["version"] + 1):
+        tabs = store.manifest(v)["tables"]
+        for t in ("frontier", "bloom", "host_census"):
+            n = len(tabs.get(t, []))
+            assert n <= bound, f"v{v} table {t}: {n} segments > {bound}"
+        n_frontier = len(tabs.get("frontier", []))
+        if prev_frontier_segs is not None and n_frontier < prev_frontier_segs:
+            compactions += 1
+        prev_frontier_segs = n_frontier
+    assert compactions >= 1  # in-round compaction actually fired
