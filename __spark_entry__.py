@@ -48,6 +48,12 @@ _PRIORITY = [
     "fuzzy_ratio_topk",
     "graph_three_hop",
     "ann_ivf_topk",
+    "neardup_components",
+    "neardup_canonical_docs",
+    "pii_redact",
+    "repetition_quality",
+    "ngram_topk_corpus",
+    "benchmark_decontaminate",
 ]
 
 

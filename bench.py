@@ -44,6 +44,12 @@ HEADLINE = [
     "event_sessions",
     "entity_match_tiers",
     "fuzzy_ratio_topk",
+    # round 3: whole-corpus curation ops (new work — additive vs BENCH_r02)
+    "neardup_components",
+    "pii_redact",
+    "repetition_quality",
+    "ngram_topk_corpus",
+    "benchmark_decontaminate",
 ]
 
 

@@ -2688,3 +2688,450 @@ def graph_three_hop(spark, sf_dir):
             ).alias("n_paths")
         )
     )
+
+
+# ===========================================================================
+# D. Corpus-curation operators (round 3): near-dup clustering, PII
+# redaction, repetition quality, boilerplate n-grams, decontamination.
+# These extend the training-data block (§C) from per-pair evidence to the
+# whole-corpus decisions an LLM-data pipeline actually ships: which doc
+# survives dedup, which text is scrubbed, which doc is dropped for
+# repetition or benchmark contamination.
+# ===========================================================================
+
+
+def _connected_components(vertices, edges, max_rounds: int = 20):
+    """Distributed connected components: min-label propagation
+    ("hash-to-min", Rastogi et al. 2013) plus pointer-jumping, so rounds
+    are O(log diameter) rather than O(diameter). Each round is one
+    shuffle keyed on `node` (the propagate) plus one self-join (the
+    jump); `localCheckpoint` truncates lineage every round, which is
+    what keeps an iterative DataFrame algorithm viable — without it the
+    plan doubles per round. Edges are materialized once up front so the
+    upstream pair-generation (LSH banding) never re-executes inside the
+    loop. At 100 TB the alternative with the same guarantees is
+    large-star/small-star (Kiveris et al. 2014); hash-to-min is chosen
+    because dup clusters have tiny diameters, so it converges in 2-3
+    rounds on real corpora while staying 100% DataFrame-native.
+
+    vertices: DataFrame[node]; edges: DataFrame[u, v] undirected, u != v.
+    Returns DataFrame[node, comp] with comp = min node id in component.
+    """
+    und = (
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    labels = vertices.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "ncomp"), "v"
+        ).select(F.col("u").alias("node"), F.col("ncomp").alias("comp"))
+        # checkpoint BEFORE the self-join below, or the propagate subplan
+        # executes once per branch and the plan re-derivation dominates
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        jump = new.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
+        new = (
+            new.join(jump, new["comp"] == jump["jnode"], "left")
+            .select("node", F.coalesce("jcomp", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+
+
+# The near-dup edge set IS minhash_lsh_pairs; its registered oracle text
+# is reused verbatim as a CTE so the component oracle can never drift
+# from the pair oracle.
+_PAIRS_SQL = ORACLES["minhash_lsh_pairs"]
+
+
+@register(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+    SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u
+    """,
+)
+def neardup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the MinHash-LSH pair stream: connected
+    components over (a_id, b_id) edges, component id = min doc_id —
+    i.e. the "keep one canonical doc per dup cluster" decision that
+    pair-listing alone cannot make (A and B dups, B and C dups => keep
+    only A). Every document appears; singletons map to themselves.
+
+    Scale: pairs come from the banded LSH join (never all-pairs); the
+    component step is hash-to-min + pointer jumping (O(log d) rounds,
+    one keyed shuffle per round — see _connected_components). The
+    DuckDB oracle computes the transitive closure of the SAME pair SQL
+    with a recursive CTE, so the hash-match proves the clustering, not
+    just the plumbing. Reference analog: entity_resolver merge groups
+    (resolve_entities.py:225-301) collapse matched records the same
+    way, row-at-a-time in Mongo."""
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint()
+    )
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    labels = _connected_components(docs, pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+# PII patterns — written to the RE2 ∩ java.util.regex common subset so
+# the Spark engine and the DuckDB oracle compile the identical pattern.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic PII augmentation: the synthetic corpus carries no PII, so
+# both engines append the SAME doc_id-derived contact block to ~3/4 of
+# docs (and a second phone to every 5th) before scrubbing — the counts
+# then vary 0/1/2 and the redaction is exercised on real matches.
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 4 <> 3 THEN ' contact user' || doc_id"
+    " || '@mail.example.com or +1-' || (100 + doc_id % 900)"
+    " || '-555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')"
+    " || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' alt +44-202-555-0199' ELSE '' END"
+)
+
+
+def _pii_aug_col():
+    contact = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-"),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 != 3, contact).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" alt +44-202-555-0199")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g'),
+               '{PII_IP_RE}', '<IP>', 'g') AS red_text,
+           len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(t, '{PII_IP_RE}')) AS n_ips
+    FROM aug
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrub for training corpora: count + redact emails, phone
+    numbers and IPv4 addresses with <EMAIL>/<PHONE>/<IP> placeholders.
+    Pure columnar regexp_replace / regexp_count — JVM-side, codegen'd,
+    zero Python in the hot path, embarrassingly parallel (no shuffle at
+    all: the plan is scan -> project). At 100 TB this runs at parquet
+    scan speed. The redaction order (email, then phone, then IP) is part
+    of the contract and mirrored in the oracle. Reference analog: none —
+    the reference stores raw scraped text; this is the LLM-pipeline
+    extension the graft calls for."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _pii_aug_col().alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("red_text"),
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+    )
+
+
+# Token list WITH duplicates (the §C ops use the _TOKS_SQL distinct set;
+# repetition metrics need multiplicity and order).
+_TOKS_RAW_SQL = "string_split_regex(lower(text), '\\s+')"
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1 use duplicate
+# line/word and top-n-gram fractions; the synthetic corpus has no lines,
+# so the word and bigram variants are the meaningful ones here).
+REP_DUP_WORD_MAX = 0.5
+REP_TOP_BIGRAM_MAX = 0.08
+
+
+@register(
+    "repetition_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_RAW_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_tokens,
+                    len(list_distinct(toks)) AS n_distinct FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+           FROM t),
+    top AS (SELECT doc_id, max(cnt) AS top_bg FROM
+              (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+            GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           round(1 - b.n_distinct::DOUBLE / b.n_tokens, 4) AS dup_word_frac,
+           round(coalesce(top.top_bg, 0)::DOUBLE
+                 / greatest(b.n_tokens - 1, 1), 4) AS top_bigram_frac,
+           (round(1 - b.n_distinct::DOUBLE / b.n_tokens, 4)
+              > {REP_DUP_WORD_MAX}
+            OR round(coalesce(top.top_bg, 0)::DOUBLE
+                     / greatest(b.n_tokens - 1, 1), 4)
+              > {REP_TOP_BIGRAM_MAX}) AS is_repetitive
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+)
+def repetition_quality(spark, sf_dir):
+    """Gopher-style repetition quality gate: duplicate-word fraction
+    (1 - distinct/total) and top-bigram fraction (most frequent bigram /
+    all bigrams) per document, with the drop flag. The bigram path is
+    explode -> two-level hash agg keyed on (doc_id, bigram) then doc_id
+    — map-side combinable, no window, no sort; the scalar stats are a
+    pure project over the token array. At 100 TB the only shuffle is the
+    bigram count agg, keyed by doc so it cannot skew across docs.
+    Rounding to 4 dp happens BEFORE the threshold compare in both
+    engines so the flag can never straddle a float ulp."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    dup_frac = F.round(
+        F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+    )
+    bg_frac = F.round(
+        F.coalesce(F.col("top_bg"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+        4,
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            dup_frac.alias("dup_word_frac"),
+            bg_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > REP_DUP_WORD_MAX) | (bg_frac > REP_TOP_BIGRAM_MAX)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+def _ngram_rows(d: DataFrame, n: int) -> DataFrame:
+    """doc_id, gram rows for word n-grams (order-preserving, with
+    multiplicity). transform(sequence(...)) stays inside codegen; docs
+    shorter than n contribute nothing."""
+    parts = ", ".join(f"toks[i + {k}]" for k in range(n))
+    return d.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))")
+        ).alias("gram"),
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return (
+        f"SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n - 2}),"
+        f" i -> {parts})) AS gram"
+        f" FROM (SELECT doc_id, {_TOKS_RAW_SQL} AS toks FROM documents)"
+    )
+
+
+NGRAM_TOPK_N = 5
+NGRAM_TOPK_K = 50
+
+
+@register(
+    "ngram_topk_corpus",
+    f"""
+    WITH g AS ({_ngram_sql(NGRAM_TOPK_N)})
+    SELECT gram, count(*) AS total_count,
+           count(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY total_count DESC, gram
+    LIMIT {NGRAM_TOPK_K}
+    """,
+)
+def ngram_topk_corpus(spark, sf_dir):
+    """Corpus-level boilerplate detector: the top-50 most frequent word
+    5-grams across the whole corpus with total occurrences and
+    document frequency — the scan that finds headers/footers/licence
+    blurbs worth stripping before training. Plan: explode -> hash agg on
+    gram (map-side partial, so each executor emits only its local
+    distinct grams) -> TakeOrderedAndProject for the top-k; the full
+    gram set is never sorted or collected. Ties at the boundary break
+    on the gram string, so the result is a deterministic total order."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    return (
+        _ngram_rows(d, NGRAM_TOPK_N)
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("total_count"), "gram")
+        .limit(NGRAM_TOPK_K)
+    )
+
+
+DECON_NGRAM_N = 3  # real pipelines use 8-13; the synthetic corpus's
+# ~40-word vocabulary makes 3 the density where overlap exists at all —
+# the mechanism (probe-gram broadcast semi-join) is N-independent.
+DECON_PROBE_MAX_ID = 10
+
+
+@register(
+    "benchmark_decontaminate",
+    f"""
+    WITH g AS ({_ngram_sql(DECON_NGRAM_N)}),
+    probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < {DECON_PROBE_MAX_ID}),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {DECON_PROBE_MAX_ID})
+    SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared_grams
+    FROM corpus c JOIN probe p ON c.gram = p.gram
+    GROUP BY c.doc_id
+    """,
+)
+def benchmark_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out probe set (docs 0..9 stand in for the
+    benchmark). The probe gram set is benchmark-sized — tiny relative
+    to the corpus — so it is BROADCAST and the contamination check is a
+    map-side semi-join at parquet-scan speed; the only shuffle is the
+    per-doc distinct-gram count, keyed on doc_id. Returns the
+    contaminated docs with their shared-gram counts; dropping them is a
+    left-anti join against this output."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    g = _ngram_rows(d, DECON_NGRAM_N)
+    probe = (
+        g.filter(F.col("doc_id") < DECON_PROBE_MAX_ID).select("gram").distinct()
+    )
+    corpus = g.filter(F.col("doc_id") >= DECON_PROBE_MAX_ID)
+    return (
+        corpus.join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+# Reuse the registered quality oracle verbatim so the canonical-doc
+# oracle can never drift from quality_score's definition.
+_QSCORE_SQL = ORACLES["quality_score"]
+
+
+@register(
+    "neardup_canonical_docs",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+    q AS ({_QSCORE_SQL}),
+    jq AS (SELECT c.component_id, q.doc_id, q.qscore
+           FROM comp c JOIN q ON c.doc_id = q.doc_id),
+    best AS (SELECT component_id, max(qscore) AS best_qscore,
+                    count(*) AS n_members
+             FROM jq GROUP BY component_id)
+    SELECT b.component_id, min(j.doc_id) AS canonical_id,
+           b.best_qscore, b.n_members
+    FROM best b JOIN jq j ON j.component_id = b.component_id
+                         AND j.qscore = b.best_qscore
+    GROUP BY b.component_id, b.best_qscore, b.n_members
+    """,
+)
+def neardup_canonical_docs(spark, sf_dir):
+    """The dedup DECISION end-to-end: for every near-dup cluster
+    (neardup_components) keep the highest-quality member
+    (quality_score), ties broken by min doc_id — i.e. which doc
+    survives into the training set and how many it replaces. The argmax
+    is a single map-side-combinable max(struct(qscore, -doc_id))
+    aggregate keyed by component — no window, no sort, one shuffle.
+    Joining quality onto labels is component-keyed and cannot skew
+    worse than the largest dup cluster, which the banding already
+    bounds. Oracle: the same recursive-closure + quality CTEs with an
+    equality-join argmax, so the hash-match pins cluster membership,
+    the quality formula, AND the tie-break."""
+    comp = neardup_components(spark, sf_dir).localCheckpoint()
+    q = quality_score(spark, sf_dir).select("doc_id", "qscore")
+    jq = comp.join(q, "doc_id")
+    best = jq.groupBy("component_id").agg(
+        F.max(F.struct(F.col("qscore"), (-F.col("doc_id")).alias("neg"))).alias("b"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        "component_id",
+        (-F.col("b.neg")).alias("canonical_id"),
+        F.col("b.qscore").alias("best_qscore"),
+        "n_members",
+    )
