@@ -45,6 +45,10 @@ _PRIORITY = [
     "json_extract_props",
     "orders_page_offset",
     # changed or added in round 3
+    "crossmodal_dup_classify",
+    "caption_token_neardup",
+    "image_caption_quality_filter",
+    "image_dup_canonical",
     "fuzzy_ratio_topk",
     "graph_three_hop",
     "ann_ivf_topk",

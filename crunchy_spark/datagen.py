@@ -81,6 +81,30 @@ def image_dims(idx: int) -> tuple[int, int]:
     return W_CYCLE[base % 4], H_CYCLE[base % 3]
 
 
+def caption_for(idx: int) -> str:
+    """Deterministic caption with designed CROSS-MODAL duplicate
+    structure (pure function of idx, like every fixture column):
+
+    - base caption:       ``caption {idx} {word}``
+    - ``idx % 5 == 3``:   verbatim copy of idx-1's (final) caption —
+      exact caption dup across DISTINCT images ("caption farming" /
+      mirror-with-new-art in a real crawl). Where the image-near-dup
+      rule also fires (idx % 4 == 1, i.e. idx ≡ 13 mod 20) the pair is
+      a duplicate in BOTH modalities.
+    - ``idx % 7 == 4`` (and not a copy row): idx-2's caption plus a
+      trailing ``photo`` token — token-level NEAR-dup caption (Jaccard
+      3/4) on a visually different image.
+
+    Copies chain on the final value (recursion strictly decreases idx)
+    so every copy row lands in a real same-caption group.
+    """
+    if idx % 5 == 3 and idx > 0:
+        return caption_for(idx - 1)
+    if idx % 7 == 4 and idx >= 2:
+        return caption_for(idx - 2) + " photo"
+    return f"caption {idx} {WORD_BANK[idx % len(WORD_BANK)]}"
+
+
 def gen_images_pdf(n: int) -> pd.DataFrame:
     rows = []
     for idx in range(n):
@@ -96,7 +120,7 @@ def gen_images_pdf(n: int) -> pd.DataFrame:
                 "w": w,
                 "h": h,
                 "fmt": fmt,
-                "caption": f"caption {idx} {WORD_BANK[idx % len(WORD_BANK)]}",
+                "caption": caption_for(idx),
                 "phash": codec.phash64(decoded),
             }
         )

@@ -3135,3 +3135,313 @@ def neardup_canonical_docs(spark, sf_dir):
         F.col("b.qscore").alias("best_qscore"),
         "n_members",
     )
+
+
+# ===========================================================================
+# H. Cross-modal image+caption curation — operators over the input_hint
+#    table itself (image_id, w, h, fmt, caption, phash). The committed
+#    fixture now carries DESIGNED caption-duplicate structure
+#    (datagen.caption_for: exact copies at idx%5==3, token-level
+#    near-dups at idx%7==4) alongside the phash near-dup pairs, so
+#    cross-modal dedup decisions are non-trivial and oracle-checkable.
+# ===========================================================================
+_CAPNORM = "lower(regexp_replace(trim(caption), '\\s+', ' ', 'g'))"
+
+
+def _cap_norm():
+    """Whitespace-collapsed lowercase caption — the dedup key a crawl
+    pipeline uses so cosmetic whitespace/case edits don't defeat exact
+    caption dedup (reference normalizes extracted text the same way
+    before persisting, parser/CrunchbaseDataParser.py:18-82)."""
+    return F.lower(F.regexp_replace(F.trim("caption"), r"\s+", " "))
+
+
+@register(
+    "crossmodal_dup_classify",
+    f"""
+    WITH m AS (SELECT image_id, phash, {_CAPNORM} AS cap
+               FROM read_parquet('{_IMAGES_META}')),
+    cap_pairs AS (
+      SELECT a.image_id AS a_id, b.image_id AS b_id
+      FROM m a JOIN m b ON a.cap = b.cap AND a.image_id < b.image_id),
+    bands AS (
+      SELECT image_id, i AS band_id, (phash >> (8 * i)) & 255 AS band_val
+      FROM m, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(i)),
+    cand AS (
+      SELECT DISTINCT a.image_id AS a_id, b.image_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.image_id < b.image_id),
+    img_pairs AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c
+      JOIN m ma ON ma.image_id = c.a_id
+      JOIN m mb ON mb.image_id = c.b_id
+      WHERE bit_count(xor(ma.phash, mb.phash)) <= {PHASH_THRESH}),
+    u AS (
+      SELECT coalesce(c.a_id, i.a_id) AS a_id,
+             coalesce(c.b_id, i.b_id) AS b_id,
+             c.a_id IS NOT NULL AS caption_match,
+             i.a_id IS NOT NULL AS image_match
+      FROM cap_pairs c
+      FULL OUTER JOIN img_pairs i ON c.a_id = i.a_id AND c.b_id = i.b_id)
+    SELECT u.a_id, u.b_id,
+           bit_count(xor(ma.phash, mb.phash)) AS hamming,
+           u.caption_match, u.image_match,
+           CASE WHEN u.caption_match AND u.image_match THEN 'both'
+                WHEN u.image_match THEN 'image_only'
+                ELSE 'caption_only' END AS dup_class
+    FROM u
+    JOIN m ma ON ma.image_id = u.a_id
+    JOIN m mb ON mb.image_id = u.b_id
+    """,
+)
+def crossmodal_dup_classify(spark, sf_dir):
+    """Cross-modal duplicate classification over the image+caption
+    table: every pair that is a duplicate in EITHER modality, labeled
+    `both` / `image_only` / `caption_only`. This is the decision table
+    a multimodal curation pipeline acts on — `both` rows are safe
+    drops, `image_only` rows are re-captioned copies (keep one image,
+    union the captions), `caption_only` rows are caption farming
+    (suspect text, distinct art). Replaces the reference's single-
+    modality exact-URL dupefilter (rabbitmq/dupefilter.py:35-44) with
+    perceptual + textual identity.
+
+    Scale shape: the caption side is an equi-join on the normalized
+    caption value — a data-growing key (caption cardinality grows with
+    the corpus), so blocks stay bounded and the join is a plain
+    shuffle-hash join; no all-pairs anywhere. The image side reuses the
+    pigeonhole-exact 8-band phash join (phash_band_pairs). The two
+    pair sets meet in a full outer join keyed on (a_id, b_id) — ids
+    only, 8-byte phashes re-joined afterward for the uniform hamming
+    column. Ignores sf_dir (fixture universe, same data as oracle)."""
+    m = (
+        spark.read.parquet(_IMAGES_META)
+        .select("image_id", "phash", _cap_norm().alias("cap"))
+        .localCheckpoint()  # tiny dim read 4x (two pair sides + 2 phash joins)
+    )
+    a = m.select(F.col("image_id").alias("a_id"), F.col("cap").alias("cap_a"))
+    b = m.select(F.col("image_id").alias("b_id"), F.col("cap").alias("cap_b"))
+    cap_pairs = a.join(
+        b, (F.col("cap_a") == F.col("cap_b")) & (F.col("a_id") < F.col("b_id"))
+    ).select("a_id", "b_id", F.lit(True).alias("caption_match"))
+    img_pairs = phash_band_pairs(
+        m.select("image_id", "phash"), PHASH_THRESH
+    ).select("a_id", "b_id", F.lit(True).alias("image_match"))
+    u = cap_pairs.join(img_pairs, ["a_id", "b_id"], "full_outer")
+    pa = m.select(F.col("image_id").alias("a_id"), F.col("phash").alias("pa"))
+    pb = m.select(F.col("image_id").alias("b_id"), F.col("phash").alias("pb"))
+    return (
+        u.withColumn("caption_match", F.coalesce("caption_match", F.lit(False)))
+        .withColumn("image_match", F.coalesce("image_match", F.lit(False)))
+        .join(pa, "a_id")
+        .join(pb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("hamming"),
+            "caption_match",
+            "image_match",
+            F.when(F.col("caption_match") & F.col("image_match"), F.lit("both"))
+            .when(F.col("image_match"), F.lit("image_only"))
+            .otherwise(F.lit("caption_only"))
+            .alias("dup_class"),
+        )
+    )
+
+
+@register(
+    "caption_token_neardup",
+    f"""
+    WITH t AS (SELECT image_id, {_CAPNORM} AS cap,
+                      list_distinct(string_split({_CAPNORM}, ' ')) AS toks
+               FROM read_parquet('{_IMAGES_META}')),
+    tb AS (SELECT image_id, cap, toks, list_min(toks) AS blk FROM t),
+    p AS (SELECT a.image_id AS a_id, b.image_id AS b_id,
+                 a.toks AS ta, b.toks AS tb_
+          FROM tb a JOIN tb b
+            ON a.blk = b.blk AND a.image_id < b.image_id AND a.cap <> b.cap),
+    j AS (SELECT a_id, b_id,
+                 round(len(list_intersect(ta, tb_))::DOUBLE
+                       / len(list_distinct(list_concat(ta, tb_))), 4) AS jaccard
+          FROM p)
+    SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.6
+    """,
+)
+def caption_token_neardup(spark, sf_dir):
+    """Token-level caption NEAR-dup pairs (Jaccard >= 0.6, exact-equal
+    captions excluded — those are crossmodal_dup_classify's rows): the
+    text-side fuzzy dedup a caption corpus needs for 'same alt-text
+    plus one boilerplate token' edits. Blocking is bottom-1 minhash
+    with the identity permutation — the lexicographic MIN token of the
+    distinct-token set — so each block is keyed by a data-growing
+    value and the join is a plain shuffle-hash join. A pair sharing
+    >= 60% of tokens shares its min token unless every one of the
+    smallest tokens is among the edits; for suffix-style edits (the
+    fixture's designed `+ photo` rows, J = 3/4) recall is exact since
+    digit tokens sort below alpha tokens. The single-band recall
+    caveat and the banded alternative are documented at
+    ngram_shingle_jaccard_pairs (same scheme over document shingles).
+    Jaccard via array_intersect/array_union sizes — JVM set ops, no
+    UDF. Ignores sf_dir (fixture universe, same data as oracle)."""
+    cap = _cap_norm()
+    t = (
+        spark.read.parquet(_IMAGES_META)
+        .select(
+            "image_id",
+            cap.alias("cap"),
+            F.array_distinct(F.split(cap, " ")).alias("toks"),
+        )
+        .withColumn("blk", F.array_min("toks"))
+    )
+    a = t.select(
+        F.col("image_id").alias("a_id"),
+        F.col("cap").alias("cap_a"),
+        F.col("toks").alias("toks_a"),
+        "blk",
+    )
+    b = t.select(
+        F.col("image_id").alias("b_id"),
+        F.col("cap").alias("cap_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("cap_a") != F.col("cap_b")),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("toks_a", "toks_b"))
+        / F.size(F.array_union("toks_a", "toks_b")),
+        4,
+    )
+    return pairs.select("a_id", "b_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+@register(
+    "image_caption_quality_filter",
+    f"""
+    SELECT image_id,
+           len(string_split({_CAPNORM}, ' ')) AS n_tokens,
+           w * h AS pixels,
+           round(greatest(w, h)::DOUBLE / least(w, h), 2) AS aspect,
+           w * h >= 1536 AS res_ok,
+           greatest(w, h)::DOUBLE / least(w, h) <= 3.0 AS aspect_ok,
+           len(string_split({_CAPNORM}, ' ')) >= 3 AS caption_ok,
+           (w * h >= 1536 AND greatest(w, h)::DOUBLE / least(w, h) <= 3.0
+            AND len(string_split({_CAPNORM}, ' ')) >= 3) AS keep
+    FROM read_parquet('{_IMAGES_META}')
+    """,
+)
+def image_caption_quality_filter(spark, sf_dir):
+    """LAION-style image+caption curation gates, per row: minimum
+    resolution (w*h >= 1536 px), bounded aspect ratio (<= 3:1 — drops
+    banner/sliver crops), minimum caption length (>= 3 tokens). Emits
+    the per-gate flags AND the combined keep decision so downstream
+    stats can attribute drops to a gate. Pure columnar scan->project —
+    zero exchanges, whole-stage-codegen'd end to end, trivially
+    partition-parallel at any scale; the gates are exactly the kind of
+    cheap first-pass filter that runs BEFORE any pair-generating dedup
+    so the expensive operators see a pre-shrunk corpus. Ignores sf_dir
+    (fixture universe, same data as oracle)."""
+    m = spark.read.parquet(_IMAGES_META)
+    n_tokens = F.size(F.split(_cap_norm(), " "))
+    pixels = F.col("w") * F.col("h")
+    aspect = F.greatest("w", "h") / F.least("w", "h")
+    return m.select(
+        "image_id",
+        n_tokens.alias("n_tokens"),
+        pixels.alias("pixels"),
+        F.round(aspect, 2).alias("aspect"),
+        (pixels >= 1536).alias("res_ok"),
+        (aspect <= 3.0).alias("aspect_ok"),
+        (n_tokens >= 3).alias("caption_ok"),
+        ((pixels >= 1536) & (aspect <= 3.0) & (n_tokens >= 3)).alias("keep"),
+    )
+
+
+# Reuse the registered phash pair oracle verbatim as a CTE so the image
+# component oracle can never drift from the pair oracle (same trick as
+# neardup_components over minhash_lsh_pairs).
+_PHASH_PAIRS_SQL = ORACLES["phash_hamming_neardup"]
+
+
+@register(
+    "image_dup_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_PHASH_PAIRS_SQL}),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+      SELECT image_id, image_id FROM read_parquet('{_IMAGES_META}')
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    comp AS (SELECT u AS image_id, min(v) AS component_id FROM reach GROUP BY u),
+    m AS (SELECT image_id, w * h AS pixels,
+                 CAST(substr(image_id, 4) AS BIGINT) AS idnum
+          FROM read_parquet('{_IMAGES_META}')),
+    j AS (SELECT c.component_id, m.pixels, m.idnum
+          FROM comp c JOIN m ON m.image_id = c.image_id),
+    agg AS (SELECT component_id, count(*) AS n_members,
+                   max(pixels) AS best_pixels
+            FROM j GROUP BY component_id),
+    pick AS (SELECT j.component_id, min(j.idnum) AS mid
+             FROM j JOIN agg a ON a.component_id = j.component_id
+                              AND j.pixels = a.best_pixels
+             GROUP BY j.component_id)
+    SELECT agg.component_id,
+           'img' || lpad(pick.mid::VARCHAR, 10, '0') AS canonical_id,
+           agg.best_pixels, agg.n_members
+    FROM agg JOIN pick USING (component_id)
+    """,
+)
+def image_dup_canonical(spark, sf_dir):
+    """The image-side dedup DECISION end-to-end (analog of
+    neardup_canonical_docs for the text side): cluster the banded phash
+    near-dup pair stream into connected components, then keep the
+    highest-RESOLUTION member per cluster (ties -> min image_id — the
+    designed idx%4==1 near-dup pairs share dims, so the tie-break is
+    exercised on every one). This is what a crawl pipeline actually
+    ships: which fetched image survives into the corpus and how many
+    perceptual copies it replaces.
+
+    Scale shape: pairs from the pigeonhole-exact 8-band join (never
+    all-pairs); components via hash-to-min + pointer jumping (O(log d)
+    rounds, one keyed shuffle per round, _connected_components); the
+    survivor pick is ONE map-side-combinable max(struct(pixels,
+    -idnum)) aggregate keyed by component — no window, no sort. The
+    DuckDB oracle recursively closes the SAME pair SQL and picks with
+    an equality-join argmax, so the hash-match pins cluster membership,
+    the resolution preference, AND the tie-break. Ignores sf_dir
+    (fixture universe, same data as oracle)."""
+    meta = spark.read.parquet(_IMAGES_META).select("image_id", "phash", "w", "h")
+    pairs = (
+        phash_band_pairs(meta.select("image_id", "phash"), PHASH_THRESH)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint()
+    )
+    labels = _connected_components(
+        meta.select(F.col("image_id").alias("node")), pairs
+    )
+    m = meta.select(
+        F.col("image_id").alias("node"),
+        (F.col("w") * F.col("h")).alias("pixels"),
+        F.substring("image_id", 4, 10).cast("long").alias("idnum"),
+    )
+    j = labels.join(m, "node")
+    best = j.groupBy(F.col("comp").alias("component_id")).agg(
+        F.count("*").alias("n_members"),
+        F.max(F.struct(F.col("pixels"), (-F.col("idnum")).alias("neg"))).alias("b"),
+    )
+    return best.select(
+        "component_id",
+        F.concat(
+            F.lit("img"), F.lpad((-F.col("b.neg")).cast("string"), 10, "0")
+        ).alias("canonical_id"),
+        F.col("b.pixels").alias("best_pixels"),
+        "n_members",
+    )
