@@ -2724,24 +2724,27 @@ def _connected_components(vertices, edges, max_rounds: int = 20):
         .localCheckpoint()
     )
     labels = vertices.select("node", F.col("node").alias("comp")).localCheckpoint()
+
+    def _jump(df: DataFrame) -> DataFrame:
+        j = df.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
+        return df.join(j, df["comp"] == j["jnode"], "left").select(
+            "node", F.coalesce("jcomp", "comp").alias("comp")
+        )
+
     for _ in range(max_rounds):
         nbr = und.join(
             labels.withColumnRenamed("node", "v").withColumnRenamed("comp", "ncomp"), "v"
         ).select(F.col("u").alias("node"), F.col("ncomp").alias("comp"))
-        # checkpoint BEFORE the self-join below, or the propagate subplan
-        # executes once per branch and the plan re-derivation dominates
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
-        )
-        jump = new.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
-        new = (
-            new.join(jump, new["comp"] == jump["jnode"], "left")
-            .select("node", F.coalesce("jcomp", "comp").alias("comp"))
-            .localCheckpoint()
-        )
+        new = labels.unionByName(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        # TWO pointer jumps per round (chain depth /4 per round) and ONE
+        # action: the repeated propagate/jump subtrees are canonically
+        # identical, so every self-join branch resolves to a
+        # ReusedExchange of the same shuffle — the 4-way textual blowup
+        # costs one execution. One localCheckpoint per round (not one
+        # per step) because driver-side job latency, not data volume,
+        # dominates iterative rounds; lineage still truncates per round.
+        new = _jump(_jump(new)).localCheckpoint()
+        # convergence probe over two checkpointed inputs — cheap scan
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))
