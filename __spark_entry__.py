@@ -49,6 +49,14 @@ _PRIORITY = [
     "caption_token_neardup",
     "image_caption_quality_filter",
     "image_dup_canonical",
+    "events_asof_join",
+    "stratified_sample",
+    "corpus_mix_temperature",
+    "bm25_topk",
+    "caption_pixels_corr",
+    "doc_pack_sequences",
+    "vocab_topk",
+    "event_value_quantiles",
     "fuzzy_ratio_topk",
     "graph_three_hop",
     "ann_ivf_topk",

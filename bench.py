@@ -50,6 +50,14 @@ HEADLINE = [
     "repetition_quality",
     "ngram_topk_corpus",
     "benchmark_decontaminate",
+    # round 3: cross-modal curation + retrieval/sampling/as-of batch
+    "crossmodal_dup_classify",
+    "image_dup_canonical",
+    "events_asof_join",
+    "stratified_sample",
+    "bm25_topk",
+    "doc_pack_sequences",
+    "vocab_topk",
 ]
 
 

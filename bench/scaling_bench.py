@@ -104,6 +104,19 @@ def build_inputs(spark, n: int, out_dir: str) -> None:
     hosts.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/host_policy")
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies from /proc/stat — steal is cycles the
+    hypervisor withheld from this VM. Sampled around each timed rep so a
+    slow wall is attributable: high steal_frac => external interference,
+    not the engine. Returns (0, 0) where /proc/stat is unavailable."""
+    try:
+        f = open("/proc/stat").readline().split()
+        user, nice, system, steal = int(f[1]), int(f[2]), int(f[3]), int(f[8])
+        return user + nice + system, steal
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
 def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
     from crunchy_spark.bloom import build_bloom, filter_unseen
     from crunchy_spark.frontier import first_arrival, select_fetchable
@@ -154,12 +167,16 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
     # CPU starvation (load spikes with idle cores), and min-of-N is the
     # standard estimator of true cost under external interference.
     walls = []
+    steals = []
     n_sel = 0
     for _ in range(reps):
         spark.catalog.clearCache()
+        b0, s0 = _cpu_jiffies()
         t0 = time.time()
         n_sel = pipeline().count()
         walls.append(time.time() - t0)
+        b1, s1 = _cpu_jiffies()
+        steals.append(round((s1 - s0) / max(1, (b1 - b0) + (s1 - s0)), 3))
     wall = min(walls)
     spark.stop()
     return {
@@ -169,6 +186,7 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
         "n_selected": n_sel,
         "wall_s": round(wall, 2),
         "walls_all": [round(w, 2) for w in walls],
+        "steal_frac_all": steals,
         "urls_per_sec": round(n / wall, 1),
     }
 
@@ -195,10 +213,12 @@ def run_level(master: str, cores: int, data_dir: str) -> dict:
     passes = [run_in_subprocess(master, cores, data_dir, reps=4) for _ in range(2)]
     best = min(passes, key=lambda r: r["wall_s"])
     walls = [w for p in passes for w in p["walls_all"]]
+    steals = [s for p in passes for s in p.get("steal_frac_all", [])]
     return {
         **best,
         "wall_s": min(walls),
         "walls_all": walls,
+        "steal_frac_all": steals,
         "urls_per_sec": round(best["n_urls"] / min(walls), 1),
     }
 

@@ -3448,3 +3448,493 @@ def image_dup_canonical(spark, sf_dir):
         F.col("b.pixels").alias("best_pixels"),
         "n_members",
     )
+
+
+# ===========================================================================
+# I. Round-3: event-time as-of join, deterministic sampling, corpus
+#    mixing, BM25 retrieval, cross-modal stats — the remaining pieces a
+#    training-data pipeline needs between raw crawl output and a
+#    training mix.
+# ===========================================================================
+@register(
+    "events_asof_join",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_event_id,
+        last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_us
+      FROM ev)
+    SELECT event_id, user_id, us AS probe_us,
+           matched_event_id, us - m_us AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """AS-OF join (event-time nearest-predecessor): for every purchase,
+    the latest click by the same user at or before it, with the exact
+    microsecond gap. Spark has no ASOF JOIN operator; the scalable
+    re-expression is the union-and-carry-forward trick — tag both
+    streams, sort once per user, and carry the last build-side row
+    forward with last(ignorenulls) over an UNBOUNDED PRECEDING frame.
+
+    Scale shape: ONE shuffle keyed on user_id (the window partition);
+    no range join, no per-probe scan, no join explosion on hot users —
+    cost is sort-within-partition, linear in events per user. Equal
+    timestamps break build-before-probe then event_id, mirrored in the
+    oracle. Epoch MICROSECONDS (unix_micros / epoch_us) keep every
+    value an exact int64 cross-engine — no float rounding anywhere."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned
+            # UTC (session.py) so the cast is epoch-exact, matching
+            # DuckDB's epoch_us over the same naive timestamps
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", F.when(is_click, 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "*",
+        F.last(F.when(is_click, F.struct("us", "event_id")), ignorenulls=True)
+        .over(w)
+        .alias("m"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("probe_us"),
+        F.col("m.event_id").alias("matched_event_id"),
+        (F.col("us") - F.col("m.us")).alias("gap_us"),
+    )
+
+
+# Per-language sampling rates in permille — en is downsampled (it
+# dominates web corpora), the rest kept at half. Deterministic hash-mod
+# sampling (not df.sample): reproducible across cluster sizes, restarts,
+# and engines, and a row's fate is a pure function of its key.
+STRATA_PERMILLE = {"en": 100, "de": 500, "fr": 500, "es": 500, "zh": 500}
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_MD5_INT_SQL.format(c="doc_id::VARCHAR")} % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM h
+    WHERE bucket < CASE lang WHEN 'en' THEN 100 ELSE 500 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Stratified DETERMINISTIC sampling for corpus balancing: keep a
+    per-language fraction of documents chosen by md5(doc_id) mod 1000 —
+    the hash-mod discipline every reproducible data pipeline uses
+    instead of rand()/df.sample (same rows survive on any cluster size,
+    any retry, any engine; the decision is auditable per row).
+
+    Scale shape: zero shuffles — scan -> hash -> filter, whole-stage
+    codegen'd; the rate lookup is a CASE expression, not a join. At
+    100 TB this is the first stage of mix construction and must cost
+    one pass; it does."""
+    rate = F.when(F.col("lang") == "en", F.lit(STRATA_PERMILLE["en"])).otherwise(
+        F.lit(500)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (_md5_int(F.col("doc_id").cast("string")) % 1000).alias("bucket"),
+    )
+    return d.filter(F.col("bucket") < rate)
+
+
+MIX_ALPHA_SQRT = True  # temperature tau=2 <=> sqrt weighting
+MIX_TARGET = 100_000
+
+
+@register(
+    "corpus_mix_temperature",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_docs, sqrt(n_docs::DOUBLE) AS wt,
+                 sum(sqrt(n_docs::DOUBLE)) OVER () AS wsum
+          FROM c)
+    SELECT lang, n_docs,
+           round(wt / wsum, 6) AS weight,
+           floor({MIX_TARGET} * wt / wsum)::BIGINT AS quota
+    FROM w
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-weighted corpus mixing quotas (tau=2, i.e. sqrt
+    weighting — the multilingual-sampling scheme of mT5/XLM-R): upweight
+    low-resource languages relative to their raw counts, emit the
+    per-language sampling quota for a {MIX_TARGET}-doc training mix.
+
+    Scale shape: one map-side-combinable count per language, then a
+    GLOBAL window — safe because it runs over the AGGREGATED table
+    (cardinality = number of languages, bounded and tiny), never the
+    raw corpus. floor() (not round) for the quota so the cross-engine
+    value is exact at every boundary."""
+    c = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    wsum = F.sum(F.sqrt(F.col("n_docs").cast("double"))).over(
+        Window.partitionBy()
+    )
+    return c.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) / wsum, 6).alias("weight"),
+        F.floor(MIX_TARGET * F.sqrt(F.col("n_docs").cast("double")) / wsum)
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+BM25_QUERY = ("join", "vector", "scan")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+               FROM documents),
+    dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+    g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+    e AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+    tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM e
+           WHERE tok IN ('join', 'vector', 'scan') GROUP BY 1, 2, 3),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id,
+                 ln(1 + (g.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / g.avgdl))
+                 AS term
+          FROM tf JOIN dfq USING (tok) CROSS JOIN g)
+    SELECT doc_id, round(sum(term), 4) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 text retrieval over the documents table for a fixed token
+    query — the lexical-search baseline every corpus pipeline keeps
+    beside its embedding ANN (ann_cosine_topk's sparse twin).
+
+    Scale shape: tokenize -> explode -> filter to query terms FIRST
+    (the explode's output is pruned to |query| terms per doc before any
+    shuffle), tf via hash agg, df from the tf table (tiny, broadcast),
+    global (N, avgdl) as a broadcast single-row cross join, final top-k
+    is TakeOrderedAndProject on the ROUNDED score + doc_id (both
+    engines order identically, so the cutoff set is deterministic
+    cross-engine). No global sort of the corpus anywhere."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    dd = d.select("doc_id", F.size("toks").alias("dl"), "toks")
+    g = dd.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    e = dd.select("doc_id", "dl", F.explode("toks").alias("tok")).filter(
+        F.col("tok").isin(*BM25_QUERY)
+    )
+    # materialize tf: it feeds BOTH the df() aggregate and the scoring
+    # join, and without it each branch re-scans and re-explodes the
+    # corpus (no ReusedExchange across the branches — distinct attr
+    # ids). tf is tiny by construction: <= n_docs * |query| rows.
+    tf = (
+        e.groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+
+
+@register(
+    "caption_pixels_corr",
+    f"""
+    SELECT fmt, count(*) AS n,
+           round(corr(len(string_split({_CAPNORM}, ' '))::DOUBLE,
+                      (w * h)::DOUBLE), 4) AS tok_px_corr,
+           round(avg(w * h), 2) AS avg_pixels
+    FROM read_parquet('{_IMAGES_META}')
+    GROUP BY fmt
+    """,
+)
+def caption_pixels_corr(spark, sf_dir):
+    """Cross-modal corpus diagnostics: per-format Pearson correlation
+    between caption length (tokens) and image resolution (pixels), plus
+    mean resolution — the sanity panel a curation run prints before
+    gating (a strong negative correlation flags thumbnail farms with
+    boilerplate captions). Single map-side-combinable aggregate over
+    the image+caption table; corr/avg/count all fold per-partition.
+    Ignores sf_dir (fixture universe, same data as oracle)."""
+    m = spark.read.parquet(_IMAGES_META)
+    n_tokens = F.size(F.split(_cap_norm(), " ")).cast("double")
+    pixels = (F.col("w") * F.col("h")).cast("double")
+    return m.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(n_tokens, pixels), 4).alias("tok_px_corr"),
+        F.round(F.avg(F.col("w") * F.col("h")), 2).alias("avg_pixels"),
+    )
+
+
+@register("image_tile_stats")  # rows-only: binary payload op
+def image_tile_stats(spark, sf_dir):
+    """Vision-training tiling: decode each image and emit per-quadrant
+    (2x2 grid) dimensions and pixel stats — the patch-extraction shape
+    (decode -> grid -> per-tile features) of a ViT-style preprocessing
+    pipeline, with the deterministic stand-in codec behind the same
+    mapInPandas signature PIL would use (codec.py).
+
+    Scale shape: bytes are decoded and DROPPED inside one mapInPandas
+    pass; only (image_id, tile_id, dims, stats) rows — never pixels —
+    exit the stage, so nothing heavy ever shuffles. Tiles split
+    floor/ceil so dimensions reassemble exactly (pytest invariant:
+    tile areas sum to w*h, and the area-weighted tile means reassemble
+    the full-image mean)."""
+    import pandas as pd
+
+    from . import codec
+
+    imgs = _images_df(spark, 64)
+
+    def tiles(it):
+        for pdf in it:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                arr, _ = codec.decode_image(bytes(data))
+                h, w = arr.shape[0], arr.shape[1]
+                hs, ws = [(0, h // 2), (h // 2, h)], [(0, w // 2), (w // 2, w)]
+                for ti, (y0, y1) in enumerate(hs):
+                    for tj, (x0, x1) in enumerate(ws):
+                        t = arr[y0:y1, x0:x1]
+                        rows.append(
+                            (
+                                iid,
+                                ti * 2 + tj,
+                                x1 - x0,
+                                y1 - y0,
+                                round(float(t.mean()), 4),
+                                round(float(t.std()), 4),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tile_id", "t_w", "t_h", "t_mean", "t_std"],
+            )
+
+    return imgs.mapInPandas(
+        tiles,
+        schema="image_id string, tile_id int, t_w int, t_h int, "
+        "t_mean double, t_std double",
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def _per_lang_cumsum_before(d: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Exclusive per-language running token sum ordered by doc_id,
+    WITHOUT a per-language single-partition window (a whole language in
+    one task is exactly the skew the engine's salted windows exist to
+    avoid). Same two-phase discipline as frontier.global_fifo_rank:
+
+    phase 1 — range-repartition by (lang, doc_id) + sort within
+    partitions (Spark's parallel total sort), so each task holds a
+    contiguous (lang, doc_id) slice;
+    phase 2 — per-(partition, lang) subtotal census (n_parts x n_langs
+    rows — the one documented driver .collect(), same exception as
+    frontier.py:67) becomes a broadcast prefix-offset map, and the
+    within-partition window (partitionBy(_pid, lang) — bounded by the
+    slice, never the language) adds the local running sum.
+
+    Returns d + [cum_before] where cum_before = sum of n_tok over all
+    earlier doc_ids of the same lang (exclusive)."""
+    ranged = d.repartitionByRange(n_parts, "lang", "doc_id").sortWithinPartitions(
+        "lang", "doc_id"
+    )
+    # materialize: repartitionByRange samples to pick boundaries; the
+    # census job and the cumsum job must see the SAME partitioning
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    census = (
+        with_pid.groupBy("_pid", "lang").agg(F.sum("n_tok").alias("subtotal")).collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(census, key=lambda r: (r["lang"], r["_pid"])):
+        offsets[(r["_pid"], r["lang"])] = acc.get(r["lang"], 0)
+        acc[r["lang"]] = acc.get(r["lang"], 0) + r["subtotal"]
+    if not offsets:
+        return d.withColumn("cum_before", F.lit(0).cast("long"))
+    off_col = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for (pid, lang), off in sorted(offsets.items())
+                    for x in (
+                        F.concat_ws("|", F.lit(str(pid)), F.lit(lang)),
+                        F.lit(off),
+                    )
+                ]
+            ),
+            F.concat_ws("|", F.col("_pid").cast("string"), F.col("lang")),
+        ),
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("_pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return with_pid.withColumn(
+        "cum_before", (off_col + local).cast("long")
+    ).drop("_pid")
+
+
+@register(
+    "doc_pack_sequences",
+    f"""
+    WITH d AS (SELECT doc_id, lang,
+                      len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tok
+               FROM documents),
+    c AS (SELECT *,
+            coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM d)
+    SELECT doc_id, lang, n_tok,
+           (cum_before // {PACK_BUDGET})::BIGINT AS seq_id,
+           (cum_before % {PACK_BUDGET})::BIGINT AS offset_in_seq
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """LLM training-sequence PACKING: assign every document a
+    (per-language) packed-sequence id and byte... token offset under a
+    fixed {PACK_BUDGET}-token budget — contiguous packing in (lang,
+    doc_id) order, the deterministic sibling of greedy first-fit that
+    training-data pipelines use when reproducibility beats the last few
+    percent of fill (same doc -> same sequence on every cluster size).
+
+    Scale shape: the per-language running sum is the two-phase
+    range-sort + census-offset pattern (_per_lang_cumsum_before) — no
+    single-partition window, no language-sized task; the oracle states
+    the IDENTICAL semantics as one SQL window since DuckDB runs at
+    oracle scale only."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    c = _per_lang_cumsum_before(d)
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(PACK_BUDGET)).cast("long").alias(
+            "offset_in_seq"
+        ),
+    )
+
+
+VOCAB_TOPK = 256
+
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents),
+    c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+    SELECT tok, freq,
+           row_number() OVER (ORDER BY freq DESC, tok) AS vocab_id
+    FROM c ORDER BY vocab_id LIMIT {VOCAB_TOPK}
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary build: top-{VOCAB_TOPK} tokens by corpus
+    frequency with dense ids in (freq DESC, tok) order — the dictionary
+    stage of any tokenizer-training pipeline.
+
+    Scale shape: partial+final hash agg on tok (map-side combinable),
+    then TakeOrderedAndProject for the top-K — the full vocabulary is
+    never globally sorted; the row_number window runs over the
+    ALREADY-LIMITED K rows (one partition of {VOCAB_TOPK} rows by
+    construction, not a corpus-sized funnel)."""
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = c.orderBy(F.desc("freq"), "tok").limit(VOCAB_TOPK)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "event_value_quantiles",
+    """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type (the latency/size
+    percentile panel of any pipeline dashboard). Spark's `percentile`
+    and DuckDB's `quantile_cont` share the standard rank = p*(n-1)
+    linear-interpolation definition, so the twin is exact. At 100 TB
+    swap `percentile` for `approx_percentile` (t-digest; single-pass,
+    mergeable) — kept exact here because the oracle must hash-match."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )

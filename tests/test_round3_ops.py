@@ -1,0 +1,196 @@
+"""Behavior tests for the round-3 operator batch: as-of join semantics
+on a crafted frame, tile-stat reassembly invariants, deterministic
+sampling stability, BM25 sanity, mix-quota arithmetic."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crunchy_spark import codec, datagen
+from crunchy_spark.queries import (
+    MIX_TARGET,
+    STRATA_PERMILLE,
+    bm25_topk,
+    corpus_mix_temperature,
+    events_asof_join,
+    image_tile_stats,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_semantics(spark):
+    """Hand-checkable frame: equal-ts click matches (build before
+    probe), later clicks don't leak backwards, users without a prior
+    click yield NULL match."""
+    rows = [
+        # user 1: click@10, purchase@10 (equal ts -> matches), click@20,
+        # purchase@15 (matches click@10, NOT click@20)
+        (100, "2024-01-01 00:00:10", 1, "click"),
+        (101, "2024-01-01 00:00:10", 1, "purchase"),
+        (102, "2024-01-01 00:00:20", 1, "click"),
+        (103, "2024-01-01 00:00:15", 1, "purchase"),
+        # user 2: purchase with no click ever -> NULL
+        (200, "2024-01-01 00:00:05", 2, "purchase"),
+        # noise type is ignored
+        (201, "2024-01-01 00:00:01", 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r.event_id: (r.matched_event_id, r.gap_us)
+            for r in events_asof_join(spark, tmp).collect()
+        }
+    assert got[101] == (100, 0)  # equal-ts click matched
+    assert got[103] == (100, 5_000_000)  # click@20 did not leak back
+    assert got[200] == (None, None)  # no prior click
+    assert len(got) == 3
+
+
+def test_asof_join_every_purchase_present(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    out = events_asof_join(spark, SF)
+    assert out.count() == n_purch
+    bad = out.filter(F.col("gap_us") < 0).count()
+    assert bad == 0
+
+
+def test_tile_stats_reassemble(spark):
+    """Tile areas sum to w*h and area-weighted tile means reassemble the
+    full-image mean (on the unrounded decode, tolerance covers the 4dp
+    rounding of the emitted stats)."""
+    rows = image_tile_stats(spark, SF).collect()
+    by_img = {}
+    for r in rows:
+        by_img.setdefault(r.image_id, []).append(r)
+    assert len(by_img) == 64
+    for iid, tiles in by_img.items():
+        assert sorted(t.tile_id for t in tiles) == [0, 1, 2, 3]
+        idx = int(iid[3:])
+        w, h = datagen.image_dims(idx)
+        fmt = "png" if idx % 3 else "jpeg"
+        arr, _ = codec.decode_image(codec.encode_image(codec.gen_pixels(idx, w, h), fmt))
+        assert sum(t.t_w * t.t_h for t in tiles) == w * h
+        weighted = sum(t.t_mean * t.t_w * t.t_h for t in tiles) / (w * h)
+        assert abs(weighted - float(arr.mean())) < 1e-3
+        for t in tiles:
+            y0, y1 = (0, h // 2) if t.tile_id < 2 else (h // 2, h)
+            x0, x1 = (0, w // 2) if t.tile_id % 2 == 0 else (w // 2, w)
+            sub = arr[y0:y1, x0:x1]
+            assert abs(t.t_mean - float(sub.mean())) < 1e-3
+            assert abs(t.t_std - float(np.std(sub))) < 1e-3
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    a = {r.doc_id for r in stratified_sample(spark, SF).collect()}
+    b = {r.doc_id for r in stratified_sample(spark, SF).collect()}
+    assert a == b  # pure function of doc_id, no rand()
+    out = stratified_sample(spark, SF)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, kept in per.items():
+        rate = STRATA_PERMILLE[lang] / 1000
+        # md5 is uniform; at fixture sizes allow generous binomial slack
+        assert abs(kept / tot[lang] - rate) < 0.25, (lang, kept, tot[lang])
+
+
+def test_corpus_mix_quota_sums(spark):
+    rows = corpus_mix_temperature(spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    q = sum(r.quota for r in rows)
+    assert MIX_TARGET - len(rows) <= q <= MIX_TARGET  # floor() loses < 1/lang
+    # sqrt weighting compresses: the largest lang's share of quota is
+    # strictly below its share of raw counts
+    big = max(rows, key=lambda r: r.n_docs)
+    n_all = sum(r.n_docs for r in rows)
+    assert big.quota / MIX_TARGET < big.n_docs / n_all
+
+
+def test_bm25_scores_rank_term_rich_docs(spark):
+    rows = bm25_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(len(rows) - 1))
+    docs = {
+        r.doc_id: r.text.lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    # every returned doc contains at least one query term
+    for r in rows:
+        assert any(t in docs[r.doc_id] for t in ("join", "vector", "scan"))
+
+
+def test_doc_pack_sequences_contiguous(spark):
+    """Packing invariants: per-lang seq_ids dense from 0; offsets equal
+    the exclusive running sum mod budget; every doc placed exactly once;
+    the two-phase cumsum matches a direct (small-data) window cumsum."""
+    from crunchy_spark.queries import PACK_BUDGET, doc_pack_sequences
+
+    rows = doc_pack_sequences(spark, SF).collect()
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.seq_id == cum // PACK_BUDGET, (lang, r.doc_id)
+            assert r.offset_in_seq == cum % PACK_BUDGET, (lang, r.doc_id)
+            assert r.n_tok == len(docs[r.doc_id].text.lower().split())
+            cum += r.n_tok
+        seqs = sorted({r.seq_id for r in rs})
+        assert seqs == list(range(len(seqs)))  # dense from 0
+
+
+def test_vocab_topk_dense_ids(spark):
+    from crunchy_spark.queries import VOCAB_TOPK, vocab_topk
+
+    rows = vocab_topk(spark, SF).collect()
+    assert len(rows) == min(VOCAB_TOPK, len(rows))
+    assert [r.vocab_id for r in sorted(rows, key=lambda r: r.vocab_id)] == list(
+        range(1, len(rows) + 1)
+    )
+    srt = sorted(rows, key=lambda r: (-r.freq, r.tok))
+    assert [r.vocab_id for r in srt] == list(range(1, len(rows) + 1))
+
+
+def test_event_value_quantiles_bounds(spark):
+    from crunchy_spark.queries import event_value_quantiles
+
+    rows = event_value_quantiles(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import numpy as np
+
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        vals = np.array(sorted(by_type[r.event_type]))
+        assert r.n == len(vals)
+        for p, got in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            want = float(np.quantile(vals, p))  # same linear interpolation
+            assert abs(got - want) < 1e-3, (r.event_type, p, got, want)
+        assert r.p50 <= r.p90 <= r.p99
