@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose only evidence is the OLDEST round go first, then
 # queries changed or added THIS round, then the recently-green rest —
 # so every query's correctness row is at most 2 rounds old.
+# Round-4 rotation note: with 81 registered queries and the 50-row cap,
+# ~30 of the r2-refreshed entries will carry round-2 evidence after this
+# round — they must head this list next round.
 _PRIORITY = [
     # evidence last recorded in round 1
     "crawl_schedule_dedup",

