@@ -69,6 +69,11 @@ _PRIORITY = [
     "repetition_quality",
     "ngram_topk_corpus",
     "benchmark_decontaminate",
+    "approx_distinct_diag",
+    "aspect_bucket_batches",
+    "image_shard_pack",
+    "unigram_logprob_quality",
+    "tfidf_topk_terms",
 ]
 
 

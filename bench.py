@@ -58,6 +58,11 @@ HEADLINE = [
     "bm25_topk",
     "doc_pack_sequences",
     "vocab_topk",
+    # round 3 batch II: corpus-statistics scoring + image batch prep
+    "unigram_logprob_quality",
+    "tfidf_topk_terms",
+    "aspect_bucket_batches",
+    "image_shard_pack",
 ]
 
 

@@ -3969,3 +3969,234 @@ def approx_distinct_diag(spark, sf_dir):
             ).alias("rel_err"),
         )
     )
+
+
+# ===========================================================================
+# K. Round-3 additions II — image training-batch prep (aspect bucketing,
+#    shard packing) and corpus-statistics quality/retrieval scoring
+# ===========================================================================
+# SDXL-style aspect buckets as (w, h) ratio pairs; assignment is argmin
+# |ln(w/h) - ln(bw/bh)| with ties to the FIRST bucket. The ln-ratio
+# constants are formatted into BOTH engines from the same Python float
+# (repr round-trips the exact double), so the argmin compares identical
+# doubles cross-engine; every fixture ratio wins its bucket by a margin
+# >= 0.11 nats, far above any 1-ulp libm divergence in ln(w/h).
+ASPECT_BUCKETS = [(1, 1), (4, 3), (3, 4), (3, 2), (2, 3), (2, 1), (16, 9), (4, 1)]
+_BUCKET_LNS = [__import__("math").log(bw / bh) for bw, bh in ASPECT_BUCKETS]
+BATCH_SIZE = 8
+
+
+@register(
+    "aspect_bucket_batches",
+    f"""
+    WITH m AS (SELECT *,
+        list_position(l, list_min(l)) AS bidx
+      FROM (SELECT w, h,
+              [{', '.join(f'abs(ln(w::DOUBLE / h::DOUBLE) - ({c!r}))' for c in _BUCKET_LNS)}] AS l
+            FROM read_parquet('{_IMAGES_META}')))
+    SELECT ([{', '.join(f"'{bw}:{bh}'" for bw, bh in ASPECT_BUCKETS)}])[bidx] AS bucket,
+           count(*) AS n_images,
+           ((count(*) + {BATCH_SIZE} - 1) // {BATCH_SIZE})::BIGINT AS n_batches,
+           round(avg(w * h), 2) AS avg_pixels
+    FROM m GROUP BY bidx
+    """,
+)
+def aspect_bucket_batches(spark, sf_dir):
+    """Aspect-ratio bucketing for vision training (the SDXL batching
+    scheme): every image joins the bucket whose aspect ratio is nearest
+    in log space, and batches are drawn within a bucket so no batch
+    mixes shapes — emit per-bucket image counts, full-batch count at
+    batch_size={BATCH_SIZE}, and mean resolution.
+
+    Scale shape: bucket assignment is a pure per-row projection (an
+    8-element literal array argmin, whole-stage codegen, zero UDF), then
+    one map-side-combinable aggregate keyed on the bucket index — the
+    bucket key has FIXED tiny cardinality by design, which is safe
+    here precisely because it feeds an aggregate (partial combine
+    collapses each partition to <= 8 rows before the exchange), never a
+    pair join (contrast fuzzy_ratio_topk's blocking lesson).
+    Ignores sf_dir (fixture universe, same data as oracle)."""
+    m = spark.read.parquet(_IMAGES_META)
+    lw = F.log(F.col("w").cast("double") / F.col("h").cast("double"))
+    diffs = F.array(*[F.abs(lw - F.lit(c)) for c in _BUCKET_LNS])
+    names = F.array(*[F.lit(f"{bw}:{bh}") for bw, bh in ASPECT_BUCKETS])
+    return (
+        m.select(
+            F.element_at(names, F.array_position(diffs, F.array_min(diffs)).cast("int"))
+            .alias("bucket"),
+            "w",
+            "h",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.ceil(F.count("*") / BATCH_SIZE).cast("long").alias("n_batches"),
+            F.round(F.avg(F.col("w") * F.col("h")), 2).alias("avg_pixels"),
+        )
+    )
+
+
+SHARD_BUDGET = 262_144  # decoded bytes (w*h*3) per WebDataset-style shard
+
+
+@register(
+    "image_shard_pack",
+    f"""
+    WITH d AS (SELECT image_id, fmt, (w * h * 3)::BIGINT AS est_bytes
+               FROM read_parquet('{_IMAGES_META}')),
+    c AS (SELECT *,
+            coalesce(sum(est_bytes) OVER (PARTITION BY fmt ORDER BY image_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM d)
+    SELECT fmt, (cum_before // {SHARD_BUDGET})::BIGINT AS shard_id,
+           count(*) AS n_images,
+           sum(est_bytes)::BIGINT AS shard_bytes,
+           min(image_id) AS first_id, max(image_id) AS last_id
+    FROM c GROUP BY fmt, cum_before // {SHARD_BUDGET}
+    """,
+)
+def image_shard_pack(spark, sf_dir):
+    """WebDataset-style shard manifest for the image+caption table:
+    images pack contiguously in (fmt, image_id) order under a
+    {SHARD_BUDGET}-decoded-byte budget (est = w*h*3), one output row
+    per shard with its size and id range — the manifest a distributed
+    tar-shard writer needs to cut training shards deterministically
+    (same image -> same shard at any cluster size).
+
+    Scale shape: the per-format running sum reuses the two-phase
+    range-sort + census-offset machinery (_per_lang_cumsum_before) —
+    no single-partition window over the corpus; the oracle states the
+    identical semantics as one SQL window at oracle scale. The final
+    manifest agg is map-side combinable on (fmt, shard_id), and at
+    write time shard_id doubles as the repartition key so each task
+    streams exactly one tar. Ignores sf_dir (fixture universe)."""
+    m = spark.read.parquet(_IMAGES_META).select(
+        F.col("fmt").alias("lang"),
+        F.col("image_id").alias("doc_id"),
+        (F.col("w") * F.col("h") * 3).cast("long").alias("n_tok"),
+    )
+    c = _per_lang_cumsum_before(m)
+    return (
+        c.select(
+            F.col("lang").alias("fmt"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_tok").alias("est_bytes"),
+            F.expr(f"cum_before div {SHARD_BUDGET}").alias("shard_id"),
+        )
+        .groupBy("fmt", "shard_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("est_bytes").alias("shard_bytes"),
+            F.min("image_id").alias("first_id"),
+            F.max("image_id").alias("last_id"),
+        )
+    )
+
+
+UNIGRAM_OUTLIER = -8.0  # mean ln p(tok) below this flags a doc as gibberish
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents),
+    fr AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok),
+    tot AS (SELECT sum(freq)::DOUBLE AS n_total FROM fr)
+    SELECT e.doc_id, count(*) AS n_tok,
+           round(avg(ln(fr.freq / tot.n_total)), 4) AS avg_logprob,
+           (avg(ln(fr.freq / tot.n_total)) < {UNIGRAM_OUTLIER}) AS is_outlier
+    FROM e JOIN fr USING (tok) CROSS JOIN tot
+    GROUP BY e.doc_id
+    """,
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Corpus-statistics quality score: a unigram LM fit on the corpus
+    itself (token freq / total tokens) scores every document by mean
+    token log-probability; docs far below the corpus norm are flagged
+    as gibberish/outliers — the classic cheap perplexity proxy that
+    runs before any neural quality filter in a training-data pipeline.
+
+    Scale shape: two hash aggs (token freq; per-doc mean) and ONE
+    shuffle join of the exploded corpus against the frequency table
+    keyed on tok — deliberately NOT a broadcast: the vocabulary grows
+    with the corpus (Heap's law), so at 100 TB the freq table is
+    shuffle-joined (AQE will still broadcast it while it fits). The
+    single-row total rides a broadcast cross join like bm25_topk's
+    (N, avgdl)."""
+    e = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    fr = e.groupBy("tok").agg(F.count("*").alias("freq"))
+    tot = fr.agg(F.sum("freq").cast("double").alias("n_total"))
+    lp = F.log(F.col("freq") / F.col("n_total"))
+    return (
+        e.join(fr, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+            (F.avg(lp) < UNIGRAM_OUTLIER).alias("is_outlier"),
+        )
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_topk_terms",
+    f"""
+    WITH e AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                 tf.tf * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1) AS score
+          FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tf, df, round(score, 4) AS tfidf, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk
+      FROM s) WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def tfidf_topk_terms(spark, sf_dir):
+    """Per-document top-{TFIDF_TOPK} terms by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1)) — the keyword-extraction /
+    sparse-retrieval-indexing stage beside bm25_topk's query-time
+    scoring.
+
+    Scale shape: explode -> (doc_id, tok) hash agg for tf; df is a
+    second agg OVER THE TF TABLE (never re-scans the corpus) and
+    shuffle-joins back on tok (vocab grows with the corpus — same
+    no-broadcast reasoning as unigram_logprob_quality); N rides a
+    single-row broadcast. The rank window partitions by doc_id, so
+    the heaviest task is one document's vocabulary — no corpus-sized
+    funnel. Scores are identical doubles cross-engine up to libm ulp;
+    equal-score ties break on tok in both window specs."""
+    d = _t(spark, sf_dir, "documents")
+    e = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    # materialize tf: it feeds BOTH the df() aggregate and the scoring
+    # join, and the partial-agg push-down makes the two exchange
+    # subtrees differ, so ReusedExchange never fires and each branch
+    # would re-scan + re-explode the corpus (same fix as bm25_topk).
+    # tf here is corpus-sized (distinct (doc, tok) pairs), so at 100 TB
+    # the checkpoint becomes a persisted table write bucketed by tok —
+    # store-once-read-twice beats two explode passes either way.
+    tf = e.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint()
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        tf.join(dfq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "tok", "tf", "df", F.round("score", 4).alias("tfidf"), "rnk")
+    )

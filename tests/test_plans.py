@@ -33,7 +33,26 @@ SHAPES = [
     ("event_value_quantiles", 1, True),
     ("vocab_topk", 2, True),
     ("image_caption_quality_filter", 0, True),
+    # aspect bucketing: per-row argmin projection + one map-side-
+    # combinable agg — exactly one exchange, no joins at all
+    ("aspect_bucket_batches", 1, True),
 ]
+
+
+def test_tfidf_df_never_rescans_corpus(spark):
+    """df() aggregates over the tf table; the parquet scan of documents
+    appears at most twice (tf branch + the count(*) for N), never a
+    third time for df."""
+    plan = _plan(spark, "tfidf_topk_terms")
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_freq_join_not_cartesian(spark):
+    plan = _plan(spark, "unigram_logprob_quality")
+    assert "CartesianProduct" not in plan
+    # the single-row total rides a broadcast
+    assert "BroadcastExchange" in plan, plan
 
 
 @pytest.mark.parametrize("name,max_shuffles,no_cart", SHAPES)

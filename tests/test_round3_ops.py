@@ -207,3 +207,70 @@ def test_approx_distinct_error_bound(spark):
     assert "partial_approx_count_distinct" in plan, plan
     for r in df.collect():
         assert r.rel_err <= 0.10, (r.event_type, r.rel_err)
+
+
+def test_aspect_buckets_cover_and_batch_math(spark):
+    from crunchy_spark.queries import ASPECT_BUCKETS, BATCH_SIZE, aspect_bucket_batches
+
+    rows = aspect_bucket_batches(spark, SF).collect()
+    names = {f"{bw}:{bh}" for bw, bh in ASPECT_BUCKETS}
+    assert sum(r.n_images for r in rows) == 256  # every image assigned
+    for r in rows:
+        assert r.bucket in names
+        assert r.n_batches == -(-r.n_images // BATCH_SIZE)  # ceil
+    # exact-ratio images land in their exact bucket: 32x32 etc -> 1:1
+    one_one = [r for r in rows if r.bucket == "1:1"]
+    assert one_one and one_one[0].n_images == 44  # the (32,32) cohort
+
+
+def test_image_shard_pack_conservation(spark):
+    from crunchy_spark.queries import SHARD_BUDGET, image_shard_pack
+
+    rows = image_shard_pack(spark, SF).collect()
+    assert sum(r.n_images for r in rows) == 256
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r.fmt, []).append(r)
+        assert r.first_id <= r.last_id
+    for fmt, shards in by_fmt.items():
+        shards.sort(key=lambda r: r.shard_id)
+        # shard ids are contiguous from 0 (contiguous packing)
+        assert [s.shard_id for s in shards] == list(range(len(shards)))
+        # id ranges are disjoint and ordered (deterministic ordering)
+        for a, b in zip(shards, shards[1:]):
+            assert a.last_id < b.first_id
+        # every shard's EXCLUSIVE-cumsum start is budget-aligned, so a
+        # shard's bytes can't exceed budget + its largest single item
+        for s in shards:
+            assert s.shard_bytes <= SHARD_BUDGET + 128 * 64 * 3
+
+
+def test_unigram_logprob_flags_consistent(spark):
+    from crunchy_spark.queries import UNIGRAM_OUTLIER, unigram_logprob_quality
+
+    rows = unigram_logprob_quality(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == docs  # every doc scored
+    for r in rows:
+        assert r.avg_logprob < 0.0  # probabilities < 1
+        # flag agrees with the (rounded) score away from the boundary
+        if abs(r.avg_logprob - UNIGRAM_OUTLIER) > 1e-3:
+            assert r.is_outlier == (r.avg_logprob < UNIGRAM_OUTLIER), r
+
+
+def test_tfidf_topk_rank_semantics(spark):
+    from crunchy_spark.queries import TFIDF_TOPK, tfidf_topk_terms
+
+    rows = tfidf_topk_terms(spark, SF).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOPK
+        for a, b in zip(rs, rs[1:]):  # scores non-increasing in rank
+            assert a.tfidf >= b.tfidf, (doc_id, a, b)
+        for r in rs:
+            assert r.df >= 1 and r.tf >= 1
