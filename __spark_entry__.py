@@ -74,6 +74,8 @@ _PRIORITY = [
     "image_shard_pack",
     "unigram_logprob_quality",
     "tfidf_topk_terms",
+    "host_pagerank",
+    "recrawl_schedule",
 ]
 
 

@@ -63,6 +63,8 @@ HEADLINE = [
     "tfidf_topk_terms",
     "aspect_bucket_batches",
     "image_shard_pack",
+    "host_pagerank",
+    "recrawl_schedule",
 ]
 
 

@@ -1340,7 +1340,10 @@ def ann_ivf_topk(spark, sf_dir):
     is a materializable partition key, so at scale the corpus is
     written bucketed by cell and a query touches nprobe partitions —
     the probed-cell list is a 2-row broadcast, so routing adds no
-    shuffle. Both engines compute the same argmax / top-nprobe over the
+    shuffle. That story is EVIDENCED, not just claimed:
+    tests/test_ivf.py::test_bucketed_cell_corpus_prunes_to_nprobe_buckets
+    writes the corpus bucketBy(cell) and asserts the probe scan reads
+    SelectedBucketsCount = nprobe out of 16 with identical results. Both engines compute the same argmax / top-nprobe over the
     same left-assoc double sums, so cell choice is bit-identical —
     ties resolve to the first max index (array_position/list_position)
     and the probe order ties break on cell position in both."""
@@ -2688,6 +2691,226 @@ def graph_three_hop(spark, sf_dir):
             ).alias("n_paths")
         )
     )
+
+
+RECRAWL_MIN_S = 3600  # never recrawl faster than hourly
+RECRAWL_MAX_S = 2_592_000  # 30 days: cap for never-changing pages
+
+
+@register(
+    "recrawl_schedule",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id AS page_id, count(*) AS n_obs,
+             sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END)
+               AS n_changes,
+             CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+      FROM o GROUP BY 1)
+    SELECT page_id, n_obs, n_changes,
+           CASE WHEN n_changes > 0
+                THEN least(greatest(
+                       CAST(floor(span_s::DOUBLE / n_changes) AS BIGINT),
+                       {RECRAWL_MIN_S}), {RECRAWL_MAX_S})
+                ELSE {RECRAWL_MAX_S} END AS interval_s,
+           last_epoch + CASE WHEN n_changes > 0
+                THEN least(greatest(
+                       CAST(floor(span_s::DOUBLE / n_changes) AS BIGINT),
+                       {RECRAWL_MIN_S}), {RECRAWL_MAX_S})
+                ELSE {RECRAWL_MAX_S} END AS next_fetch_epoch
+    FROM s WHERE n_obs >= 2
+    """,
+)
+def recrawl_schedule(spark, sf_dir):
+    """Freshness-driven recrawl scheduling: per page, estimate the
+    observed change interval (span / #changes, a change = consecutive
+    observations with different values) and schedule the next fetch at
+    last_seen + clamp(interval, 1h, 30d) — the incremental-crawl
+    policy that decides which frontier URLs get re-enqueued, the
+    counterpart to first-crawl priority (host_pagerank) and politeness
+    (W3). The reference recrawls only on demand (requeue on fetch
+    failure, spiders/crunchy.py:117-167); this is the principled
+    steady-state policy a standing crawl needs.
+
+    Scale shape: one lag window keyed (page, ts) — partition by page,
+    never global — then one map-side-combinable agg on page; the clamp
+    arithmetic is pure codegen. At 100 TB of fetch history the window
+    partitions by page_id (bounded per-page history), and the output is
+    page-sized, joinable straight back onto the frontier as its
+    priority/when column."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("prev", F.lag("value").over(w))
+    changed = F.when(
+        F.col("prev").isNotNull() & (F.col("value") != F.col("prev")), 1
+    ).otherwise(0)
+    s = o.groupBy(F.col("user_id").alias("page_id")).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(changed).alias("n_changes"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_s"),
+        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+    )
+    interval = F.when(
+        F.col("n_changes") > 0,
+        F.least(
+            F.greatest(
+                F.floor(F.col("span_s").cast("double") / F.col("n_changes")).cast(
+                    "long"
+                ),
+                F.lit(RECRAWL_MIN_S).cast("long"),
+            ),
+            F.lit(RECRAWL_MAX_S).cast("long"),
+        ),
+    ).otherwise(F.lit(RECRAWL_MAX_S).cast("long"))
+    return s.filter(F.col("n_obs") >= 2).select(
+        "page_id",
+        "n_obs",
+        "n_changes",
+        interval.alias("interval_s"),
+        (F.col("last_epoch") + interval).alias("next_fetch_epoch"),
+    )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_D = 0.85
+
+
+@register(
+    "host_pagerank",
+    f"""
+    WITH j AS (SELECT l_suppkey, o_custkey, l_returnflag
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+              FROM j
+              UNION ALL
+              SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              FROM j WHERE l_returnflag = 'R'),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    d1 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r0 r
+           LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+    c1 AS (SELECT e.dst AS node, sum(r.r / deg.deg) AS contrib
+           FROM edges e JOIN r0 r ON e.src = r.node
+                        JOIN deg ON e.src = deg.node GROUP BY 1),
+    r1 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + {PAGERANK_D} * (coalesce(c.contrib, 0)
+                                    + (SELECT dang FROM d1) / (SELECT n FROM nn)) AS r
+           FROM nodes LEFT JOIN c1 c USING (node)),
+    d2 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r1 r
+           LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+    c2 AS (SELECT e.dst AS node, sum(r.r / deg.deg) AS contrib
+           FROM edges e JOIN r1 r ON e.src = r.node
+                        JOIN deg ON e.src = deg.node GROUP BY 1),
+    r2 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + {PAGERANK_D} * (coalesce(c.contrib, 0)
+                                    + (SELECT dang FROM d2) / (SELECT n FROM nn)) AS r
+           FROM nodes LEFT JOIN c2 c USING (node)),
+    d3 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r2 r
+           LEFT JOIN deg USING (node) WHERE deg.deg IS NULL),
+    c3 AS (SELECT e.dst AS node, sum(r.r / deg.deg) AS contrib
+           FROM edges e JOIN r2 r ON e.src = r.node
+                        JOIN deg ON e.src = deg.node GROUP BY 1),
+    r3 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn)
+                  + {PAGERANK_D} * (coalesce(c.contrib, 0)
+                                    + (SELECT dang FROM d3) / (SELECT n FROM nn)) AS r
+           FROM nodes LEFT JOIN c3 c USING (node))
+    SELECT node, round(r, 6) AS pr FROM r3
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """Host-authority scoring for frontier prioritization: PAGERANK_ITERS
+    power iterations of PageRank (d=0.85, dangling mass redistributed
+    uniformly) over a data-derived link graph — the OPIC/PageRank
+    priority every production crawler feeds back into its frontier
+    ordering (the reference hardcodes a fixed per-queue priority —
+    crunchbase vs tracxn routing, CrunchyCrawler/spiders/crunchy.py:202
+    and frontier.QUEUE_RANK here; this is the principled score W1's
+    3-level priority would consume as a fourth, data-driven level).
+
+    The graph derives from lineitem⋈orders: supplier --ships--> customer
+    edges, plus customer --returns--> supplier edges on l_returnflag='R'
+    (so the graph has cycles AND dangling nodes — customers who never
+    returned anything have no outlinks, exercising the dangling-mass
+    term).
+
+    Scale shape per iteration: ONE shuffle join of edges against the
+    node-sized rank table keyed on src (both grow with data — never
+    broadcast), one map-side-combinable sum keyed on dst, and two 1-row
+    broadcast scalars (N, dangling mass) riding crossJoins like
+    bm25_topk's corpus stats. Ranks are localCheckpoint'd per iteration
+    so lineage/plan size stays O(1) in the iteration count — the same
+    discipline as _connected_components. The DuckDB oracle unrolls the
+    identical iterations as CTEs; round(,6) absorbs summation-order
+    float noise (addends ~1e-4, error ~1e-15)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", "o_custkey", "l_returnflag"
+    )
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    ship = j.select(s_node.alias("src"), c_node.alias("dst")).distinct()
+    ret = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(c_node.alias("src"), s_node.alias("dst"))
+        .distinct()
+    )
+    edges = ship.unionByName(ret).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        dang = (
+            ranks.join(deg, "node", "left")
+            .filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(PAGERANK_D)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("r", 6).alias("pr"))
 
 
 # ===========================================================================
@@ -4117,27 +4340,33 @@ def unigram_logprob_quality(spark, sf_dir):
     as gibberish/outliers — the classic cheap perplexity proxy that
     runs before any neural quality filter in a training-data pipeline.
 
-    Scale shape: two hash aggs (token freq; per-doc mean) and ONE
-    shuffle join of the exploded corpus against the frequency table
-    keyed on tok — deliberately NOT a broadcast: the vocabulary grows
-    with the corpus (Heap's law), so at 100 TB the freq table is
-    shuffle-joined (AQE will still broadcast it while it fits). The
-    single-row total rides a broadcast cross join like bm25_topk's
-    (N, avgdl)."""
+    Scale shape: the corpus is exploded ONCE into a materialized
+    (doc_id, tok, tf) table; corpus frequency, the grand total, and the
+    per-doc score all derive from it (freq = sum(tf) grouped by tok;
+    per-instance mean = sum(tf*ln p)/sum(tf)), so the raw text is
+    scanned a single time. The tf <-> freq join is keyed on tok and
+    deliberately NOT broadcast: the vocabulary grows with the corpus
+    (Heap's law), so at 100 TB the freq table is shuffle-joined (AQE
+    still broadcasts it while it fits). The single-row total rides a
+    broadcast cross join like bm25_topk's (N, avgdl)."""
     e = _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     )
-    fr = e.groupBy("tok").agg(F.count("*").alias("freq"))
+    # materialized once: feeds freq, the total, and the scoring join
+    # (without it each consumer re-scans + re-explodes the corpus)
+    tf = e.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).localCheckpoint()
+    fr = tf.groupBy("tok").agg(F.sum("tf").alias("freq"))
     tot = fr.agg(F.sum("freq").cast("double").alias("n_total"))
     lp = F.log(F.col("freq") / F.col("n_total"))
+    mean_lp = F.sum(F.col("tf") * lp) / F.sum("tf")
     return (
-        e.join(fr, "tok")
+        tf.join(fr, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tok"),
-            F.round(F.avg(lp), 4).alias("avg_logprob"),
-            (F.avg(lp) < UNIGRAM_OUTLIER).alias("is_outlier"),
+            F.sum("tf").alias("n_tok"),
+            F.round(mean_lp, 4).alias("avg_logprob"),
+            (mean_lp < UNIGRAM_OUTLIER).alias("is_outlier"),
         )
     )
 

