@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose only evidence is the OLDEST round go first, then
 # queries changed or added THIS round, then the recently-green rest —
 # so every query's correctness row is at most 2 rounds old.
-# Round-4 rotation note: with 81 registered queries and the 50-row cap,
-# ~30 of the r2-refreshed entries will carry round-2 evidence after this
+# Round-4 rotation note: with 92 registered queries and the 50-row cap,
+# ~40 of the r2-refreshed entries will carry round-2 evidence after this
 # round — they must head this list next round.
 _PRIORITY = [
     # evidence last recorded in round 1
@@ -48,6 +48,11 @@ _PRIORITY = [
     "json_extract_props",
     "orders_page_offset",
     # changed or added in round 3
+    "url_trap_detect",
+    "mirror_host_detect",
+    "crawl_budget_alloc",
+    "dsir_select",
+    "semdedup_prune",
     "crossmodal_dup_classify",
     "caption_token_neardup",
     "image_caption_quality_filter",

@@ -4429,3 +4429,485 @@ def tfidf_topk_terms(spark, sf_dir):
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .select("doc_id", "tok", "tf", "df", F.round("score", 4).alias("tfidf"), "rnk")
     )
+
+
+# ===========================================================================
+# F. Round-3b: crawl-scale scheduling & curation ops
+#    (trap detection, mirror hosts, budget allocation, DSIR, SemDedup)
+# ===========================================================================
+TRAP_MIN_URLS = 25  # a template needs this many distinct URLs ...
+TRAP_RATIO = 0.9  # ... and ~every hit a fresh URL to be called a trap
+
+
+@register(
+    "url_trap_detect",
+    f"""
+    WITH u AS (
+      SELECT 'h' || (o_custkey % 40)::VARCHAR AS host,
+             CASE WHEN (o_custkey % 40) < 4
+                  THEN '/cal/' || o_orderkey::VARCHAR || '/day'
+                  ELSE '/page/' || (o_orderkey % 20)::VARCHAR END AS path
+      FROM orders),
+    t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+                 path FROM u)
+    SELECT host, template, count(DISTINCT path) AS n_urls, count(*) AS n_hits,
+           (count(DISTINCT path) > {TRAP_MIN_URLS}
+            AND count(DISTINCT path)::DOUBLE / count(*) > {TRAP_RATIO}) AS is_trap
+    FROM t GROUP BY host, template
+    """,
+)
+def url_trap_detect(spark, sf_dir):
+    """Crawler-trap detection: collapse every URL path to a template
+    (digit runs -> N) and flag (host, template) groups where nearly every
+    hit mints a fresh URL — the calendar/session-id/faceted-search traps
+    that drown a frontier in infinite URL spaces. The reference has no
+    defense (its two sites are finite, Readme.md:4-7); a general frontier
+    must demote trap templates before they starve real pages (the
+    expansion gate P10 / similar_companies.py:29-33 is where the flag
+    plugs in). Both engines synthesize the identical URL column off
+    `orders` (trap hosts mint one URL per order; healthy hosts cycle 20
+    stable pages).
+
+    Scale shape: one regexp projection (codegen) + one hash agg keyed
+    (host, template) with partial count-distinct — map-side combinable,
+    no joins, no windows. At 10^10 URLs the agg output is
+    host x template sized (tiny); the flag joins back onto the frontier
+    broadcast. Distinct-count exactness matters only per template, where
+    cardinality is the thing being measured."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+    path = F.when(
+        (F.col("o_custkey") % 40) < 4,
+        F.concat(F.lit("/cal/"), F.col("o_orderkey").cast("string"), F.lit("/day")),
+    ).otherwise(F.concat(F.lit("/page/"), (F.col("o_orderkey") % 20).cast("string")))
+    t = o.select(
+        host.alias("host"),
+        path.alias("path"),
+    ).withColumn("template", F.regexp_replace("path", "[0-9]+", "N"))
+    return (
+        t.groupBy("host", "template")
+        .agg(
+            F.countDistinct("path").alias("n_urls"),
+            F.count("*").alias("n_hits"),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") > TRAP_MIN_URLS)
+            & (F.col("n_urls").cast("double") / F.col("n_hits") > TRAP_RATIO),
+        )
+    )
+
+
+MIRROR_FP_MAX_HOSTS = 20  # shingles on more hosts are boilerplate, not mirrors
+MIRROR_MIN_JAC = 0.2
+
+
+@register(
+    "mirror_host_detect",
+    f"""
+    WITH d0 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents),
+    d AS (SELECT 'h' || (doc_id % 30)::VARCHAR AS host, toks FROM d0
+          UNION ALL
+          SELECT 'h' || (doc_id % 30)::VARCHAR || 'm' AS host, toks FROM d0
+          WHERE (doc_id % 30) < 5 AND (doc_id // 30) % 2 = 0),
+    sh AS (SELECT DISTINCT host, sh FROM (
+             SELECT host, unnest(list_transform(generate_series(1, len(toks)-2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             FROM d)),
+    rare AS (SELECT sh FROM sh GROUP BY sh
+             HAVING count(*) <= {MIRROR_FP_MAX_HOSTS}),
+    rs AS (SELECT host, sh.sh FROM sh JOIN rare USING (sh)),
+    tot AS (SELECT host, count(*) AS n FROM rs GROUP BY host),
+    pairs AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+              FROM rs a JOIN rs b ON a.sh = b.sh AND a.host < b.host
+              GROUP BY 1, 2)
+    SELECT host_a, host_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+           round(n_shared::DOUBLE / (ta.n + tb.n - n_shared), 4) AS jac
+    FROM pairs JOIN tot ta ON ta.host = host_a JOIN tot tb ON tb.host = host_b
+    WHERE n_shared::DOUBLE / (ta.n + tb.n - n_shared) >= {MIRROR_MIN_JAC}
+    """,
+)
+def mirror_host_detect(spark, sf_dir):
+    """Mirror-host detection: hosts whose (rare-)content-shingle sets
+    overlap heavily are mirrors of each other; a frontier should crawl
+    one and demote the rest. Content evidence = distinct 3-token
+    shingles per host; shingles present on more than
+    {MIRROR_FP_MAX_HOSTS} hosts are dropped first (ubiquitous
+    boilerplate is not mirror evidence — and that cap is also what
+    bounds the join). Pair score = Jaccard over each pair's rare-shingle
+    sets, reported at >= {MIRROR_MIN_JAC}. Reference analog: cross-source
+    discovery dedupes by domain before re-crawling the same company
+    elsewhere (discovery.py:80-86); this generalizes it to whole-host
+    content identity. Both engines synthesize the identical host
+    universe off `documents`: 30 base hosts by doc_id, plus planted
+    partial mirrors ('h<k>m' re-serves half of h<k>'s docs for k<5) —
+    true mirrors score ~0.5 against their base host while unrelated
+    host pairs sit <= ~0.14 on this corpus, so the {MIRROR_MIN_JAC}
+    cut separates them cleanly.
+
+    Scale shape: explode -> distinct (host, shingle) hash agg; the
+    frequency cap makes the self-join on shingle emit at most
+    C({MIRROR_FP_MAX_HOSTS},2) pairs per shingle — candidate volume is
+    O(shingles x cap^2), never O(hosts^2) — and the pair agg is
+    map-side combinable. Same bounded-block discipline as the banded
+    LSH ops; the cap is part of the operator definition (oracle
+    mirrors it)."""
+    d0 = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    base_host = F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string"))
+    d = d0.select(base_host.alias("host"), "toks").unionAll(
+        d0.filter(
+            ((F.col("doc_id") % 30) < 5) & (F.expr("(doc_id div 30) % 2") == 0)
+        ).select(
+            F.concat(base_host, F.lit("m")).alias("host"), "toks"
+        )
+    )
+    sh3 = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i + 1),
+            F.element_at("toks", i + 2),
+            F.element_at("toks", i + 3),
+        ),
+    )
+    rs = (
+        d.select("host", F.explode(sh3).alias("sh"))
+        .distinct()
+        .withColumn("n_hosts", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("n_hosts") <= MIRROR_FP_MAX_HOSTS)
+        .drop("n_hosts")
+    )
+    tot = rs.groupBy("host").agg(F.count("*").alias("n"))
+    b = rs.select(F.col("host").alias("host_b"), "sh")
+    pairs = (
+        rs.join(b, "sh")
+        .filter(F.col("host") < F.col("host_b"))
+        .groupBy(F.col("host").alias("host_a"), "host_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        pairs.join(tot.select(F.col("host").alias("host_a"), F.col("n").alias("n_a")), "host_a")
+        .join(tot.select(F.col("host").alias("host_b"), F.col("n").alias("n_b")), "host_b")
+        .filter(jac >= MIRROR_MIN_JAC)
+        .select("host_a", "host_b", "n_shared", "n_a", "n_b", F.round(jac, 4).alias("jac"))
+    )
+
+
+BUDGET_TOTAL = 100_000  # fetch slots per round to split across hosts
+
+
+@register(
+    "crawl_budget_alloc",
+    f"""
+    WITH s AS (SELECT 'h' || (c_custkey % 50)::VARCHAR AS host,
+                      CAST(round(sum(greatest(c_acctbal, 0)) * 100) AS BIGINT)
+                        AS score_c
+               FROM customer GROUP BY 1),
+    t AS (SELECT sum(score_c) AS tot FROM s),
+    base AS (SELECT host, score_c,
+                    ({BUDGET_TOTAL} * score_c) // t.tot AS floor_alloc,
+                    ({BUDGET_TOTAL} * score_c) % t.tot AS rem
+             FROM s CROSS JOIN t),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk,
+                 {BUDGET_TOTAL} - sum(floor_alloc) OVER () AS leftover
+          FROM base)
+    SELECT host, score_c,
+           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r
+    """,
+)
+def crawl_budget_alloc(spark, sf_dir):
+    """Per-host crawl-budget allocation: split {BUDGET_TOTAL} fetch
+    slots per round across hosts proportionally to a host quality score
+    (here sum of positive account balances as the stand-in signal),
+    using largest-remainder rounding so the allocations are integers
+    that sum EXACTLY to the budget — the knob that turns host_pagerank /
+    recrawl_schedule signals into the per-host budgets the politeness
+    ranker (frontier.select_fetchable, W3) enforces. All arithmetic is
+    integer (scores in cents, floor division, remainder rank), so the
+    result is bit-identical across engines and cluster sizes.
+
+    Scale shape: one map-side-combinable agg corpus-side; everything
+    after operates on the host-sized table (the global remainder-rank
+    window runs over hosts, not URLs — same post-aggregation-window
+    reasoning as corpus_mix_temperature). Sum(alloc) == budget is
+    pinned in pytest."""
+    c = _t(spark, sf_dir, "customer")
+    s = c.groupBy(
+        F.concat(F.lit("h"), (F.col("c_custkey") % 50).cast("string")).alias("host")
+    ).agg(
+        F.round(F.sum(F.greatest(F.col("c_acctbal"), F.lit(0))) * 100)
+        .cast("long")
+        .alias("score_c")
+    )
+    t = s.agg(F.sum("score_c").alias("tot"))
+    base = s.crossJoin(F.broadcast(t)).select(
+        "host",
+        "score_c",
+        F.expr(f"({BUDGET_TOTAL} * score_c) div tot").alias("floor_alloc"),
+        F.expr(f"({BUDGET_TOTAL} * score_c) % tot").alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), "host")
+    wall = Window.partitionBy()
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("leftover", F.lit(BUDGET_TOTAL) - F.sum("floor_alloc").over(wall))
+        .select(
+            "host",
+            "score_c",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )
+
+
+DSIR_TOPK = 100
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_select",
+    f"""
+    WITH e AS (SELECT doc_id, lang,
+                      unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents),
+    fr AS (SELECT tok, count(*) AS fs,
+                  sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                    AS ft
+           FROM e GROUP BY tok),
+    tot AS (SELECT sum(fs)::DOUBLE AS n_s, sum(ft)::DOUBLE AS n_t,
+                   count(*)::DOUBLE AS v FROM fr),
+    sc AS (SELECT e.doc_id, count(*) AS n_tok,
+                  round(avg(ln((fr.ft + 1) / (tot.n_t + tot.v))
+                          - ln((fr.fs + 1) / (tot.n_s + tot.v))), 4) AS score
+           FROM e JOIN fr USING (tok) CROSS JOIN tot
+           WHERE e.lang <> '{DSIR_TARGET_LANG}'
+           GROUP BY e.doc_id),
+    top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT {DSIR_TOPK})
+    SELECT doc_id, n_tok, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+    FROM top
+    """,
+)
+def dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): score every
+    candidate document by its mean token log-likelihood RATIO between a
+    target unigram LM (docs with lang='{DSIR_TARGET_LANG}') and the
+    source LM (whole corpus), Laplace-smoothed over the shared
+    vocabulary, and keep the top-{DSIR_TOPK} — the importance-resampling
+    step that tilts a raw crawl toward a target domain before training.
+    Builds on the same corpus-fit machinery as unigram_logprob_quality
+    (absolute fluency) but scores *domain match*, the other axis a
+    curation pipeline needs.
+
+    Scale shape: one explode -> one (tok) hash agg producing BOTH
+    frequency columns (count + conditional count in a single pass —
+    never two corpus scans); totals ride a single-row broadcast; the
+    scoring join on tok is a shuffle join (vocab grows with the corpus,
+    Heap's law — same no-broadcast reasoning as unigram_logprob_quality);
+    per-doc agg is map-side combinable. The top-k is a TakeOrdered on
+    the ROUNDED score (4dp, doc_id tie-break — cross-engine
+    deterministic, same discipline as bm25_topk); the rank window runs
+    over the already-limited {DSIR_TOPK} rows, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    # materialized: feeds both the totals agg and the scoring join
+    # (same store-once-read-twice reasoning as tfidf_topk_terms' tf)
+    fr = (
+        e.groupBy("tok")
+        .agg(
+            F.count("*").alias("fs"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ft"),
+        )
+        .localCheckpoint()
+    )
+    tot = fr.agg(
+        F.sum("fs").cast("double").alias("n_s"),
+        F.sum("ft").cast("double").alias("n_t"),
+        F.count("*").cast("double").alias("v"),
+    )
+    llr = F.log((F.col("ft") + 1) / (F.col("n_t") + F.col("v"))) - F.log(
+        (F.col("fs") + 1) / (F.col("n_s") + F.col("v"))
+    )
+    sc = (
+        e.filter(F.col("lang") != DSIR_TARGET_LANG)
+        .join(fr, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.avg(llr), 4).alias("score"),
+        )
+    )
+    top = sc.orderBy(F.desc("score"), "doc_id").limit(DSIR_TOPK)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.35  # cosine cut; matches this corpus's near-dup regime
+_EMB_DIM = 64
+
+
+def _semdedup_sql() -> str:
+    """Unrolled 2-iteration k-means + intra-cluster cosine prune in
+    DuckDB, mirroring the Spark plan step for step. Centroids and
+    distances round to 6dp in both engines so float summation order
+    can't flip an assignment."""
+    dims = _EMB_DIM
+    k = SEMDEDUP_K
+
+    def assign(cent: str, out: str) -> str:
+        return f"""
+    d_{out} AS (SELECT e.vec_id, c.k,
+                     round(sum((e.val - c.cv) * (e.val - c.cv)), 6) AS d
+              FROM e JOIN {cent} c USING (i) GROUP BY e.vec_id, c.k),
+    {out} AS (SELECT vec_id, k FROM (
+               SELECT vec_id, k,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+               FROM d_{out}) WHERE rn = 1)"""
+
+    return f"""
+    WITH v AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS v FROM embeddings),
+    e AS (SELECT vec_id, i::INT AS i, v[i + 1] AS val
+          FROM v, range({dims}) t(i)),
+    c0 AS (SELECT (vec_id % {k})::INT AS k, i, round(avg(val), 6) AS cv
+           FROM e GROUP BY 1, 2),
+    {assign('c0', 'a1')},
+    c1 AS (SELECT a1.k, e.i, round(avg(e.val), 6) AS cv
+           FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+    {assign('c1', 'a2')},
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+          FROM v),
+    dup AS (SELECT DISTINCT y.vec_id
+            FROM a2 x JOIN a2 y ON x.k = y.k AND x.vec_id < y.vec_id
+            JOIN n nx ON nx.vec_id = x.vec_id
+            JOIN n ny ON ny.vec_id = y.vec_id
+            WHERE round(list_dot_product(nx.nv, ny.nv), 4) >= {SEMDEDUP_TAU})
+    SELECT a2.vec_id, a2.k AS cluster,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM a2 LEFT JOIN dup USING (vec_id)
+    """
+
+
+@register("semdedup_prune", _semdedup_sql())
+def semdedup_prune(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): cluster embeddings with k-means
+    (K={SEMDEDUP_K}, 2 iterations, deterministic init: centroid k =
+    mean of vecs with vec_id % K == k), then within each cluster mark a
+    vector as a semantic duplicate if some lower-id cluster-mate has
+    cosine >= {SEMDEDUP_TAU} — the keep-first pruning rule. Complements
+    the pair-emitting near-dup ops (embedding_neardup_cosine emits
+    pairs; this emits the per-row keep/drop decision a curation
+    pipeline actually applies).
+
+    Scale shape: each k-means iteration is (a) a posexplode ->
+    (k, dim) hash agg for centroids (map-side combinable, output is
+    K x dim ~ tiny) and (b) an assignment via BROADCAST of the K
+    centroid arrays + a zip_with/aggregate squared-distance fold with
+    min(struct(d, k)) argmin — no shuffle of the corpus beyond the agg.
+    The intra-cluster pairwise verify is quadratic ONLY within a
+    cluster: exactly the SemDedup paper's design, where K scales with
+    corpus size to bound cluster width (at 10^10 rows you raise K, not
+    the per-cluster work; the banded-LSH ops are the alternative when
+    no clustering fits). Centroids and distances round to 6dp in both
+    engines so cross-engine float summation order can't flip an
+    assignment; the argmin tie-breaks on k via the struct ordering."""
+    k = SEMDEDUP_K
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def centroids(assigned):
+        cent = (
+            assigned.select("k", F.posexplode("v").alias("i", "val"))
+            .groupBy("k", "i")
+            .agg(F.round(F.avg("val"), 6).alias("cv"))
+        )
+        return cent.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+
+    def assign(cent_arr):
+        j = emb.crossJoin(
+            F.broadcast(cent_arr.select(F.col("k").alias("ck"), "c"))
+        )
+        dist = F.round(
+            F.aggregate(
+                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        return (
+            j.select("vec_id", dist.alias("d"), "ck")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "ck")).alias("m"))
+            .select("vec_id", F.col("m.ck").alias("k"))
+        )
+
+    a = emb.withColumn("k", (F.col("vec_id") % k).cast("int"))
+    for _ in range(2):
+        a = assign(centroids(a)).join(emb, "vec_id")
+    a = a.select("vec_id", "k").localCheckpoint()  # shared by pair join + output
+
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "v",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "v", lambda p, q: p * q),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+            ),
+        ).alias("nv"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("nv", "nv_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    pairs = (
+        a.join(a.select(F.col("vec_id").alias("vec_id_b"), F.col("k")), "k")
+        .filter(F.col("vec_id") < F.col("vec_id_b"))
+        .join(norm, "vec_id")
+        .join(
+            norm.select(F.col("vec_id").alias("vec_id_b"), F.col("nv").alias("nv_b")),
+            "vec_id_b",
+        )
+        .filter(cos >= SEMDEDUP_TAU)
+        .select(F.col("vec_id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        a.join(pairs, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("k").alias("cluster"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
