@@ -4639,12 +4639,22 @@ def crawl_budget_alloc(spark, sf_dir):
     reasoning as corpus_mix_temperature). Sum(alloc) == budget is
     pinned in pytest."""
     c = _t(spark, sf_dir, "customer")
-    s = c.groupBy(
-        F.concat(F.lit("h"), (F.col("c_custkey") % 50).cast("string")).alias("host")
-    ).agg(
-        F.round(F.sum(F.greatest(F.col("c_acctbal"), F.lit(0))) * 100)
-        .cast("long")
-        .alias("score_c")
+    # materialized: the host-sized score table feeds both the grand
+    # total and the allocation — without it the totals branch re-scans
+    # and re-aggregates the corpus (no ReusedExchange across the two
+    # differently-shaped agg subtrees)
+    s = (
+        c.groupBy(
+            F.concat(F.lit("h"), (F.col("c_custkey") % 50).cast("string")).alias(
+                "host"
+            )
+        )
+        .agg(
+            F.round(F.sum(F.greatest(F.col("c_acctbal"), F.lit(0))) * 100)
+            .cast("long")
+            .alias("score_c")
+        )
+        .localCheckpoint()
     )
     t = s.agg(F.sum("score_c").alias("tot"))
     base = s.crossJoin(F.broadcast(t)).select(

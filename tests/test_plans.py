@@ -99,3 +99,45 @@ def test_stratified_sample_pushes_scan_pruning(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "lang"}, cols
+
+
+def test_url_trap_detect_single_agg_no_joins(spark):
+    """Trap detection is one distinct-rewritten hash agg — no joins,
+    no windows; exchanges only for the two-phase distinct count."""
+    plan = _plan(spark, "url_trap_detect")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_mirror_host_detect_no_cartesian(spark):
+    """The host-pair join goes through the shingle equi-key (with the
+    ubiquity cap), never a host x host product."""
+    plan = _plan(spark, "mirror_host_detect")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_crawl_budget_alloc_windows_post_agg(spark):
+    """Remainder ranking runs over the host-sized aggregate: the
+    corpus is scanned once, and the single-row total rides a
+    broadcast."""
+    plan = _plan(spark, "crawl_budget_alloc")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_select_take_ordered(spark):
+    """The top-k cut is a TakeOrdered, never a global sort of the
+    pool; the vocab join is a real join (no cartesian)."""
+    plan = _plan(spark, "dsir_select")
+    assert "TakeOrdered" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    """K-means assignment broadcasts the K centroid arrays; the
+    corpus-side embeddings are never shuffled for it, and no plain
+    cartesian product appears anywhere."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
