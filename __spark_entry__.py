@@ -53,6 +53,8 @@ _PRIORITY = [
     "crawl_budget_alloc",
     "dsir_select",
     "semdedup_prune",
+    "ccnet_quality_buckets",
+    "clip_hard_negatives",
     "crossmodal_dup_classify",
     "caption_token_neardup",
     "image_caption_quality_filter",

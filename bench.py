@@ -65,6 +65,14 @@ HEADLINE = [
     "image_shard_pack",
     "host_pagerank",
     "recrawl_schedule",
+    # round 3 batch III: crawl hygiene + target-domain curation
+    "url_trap_detect",
+    "mirror_host_detect",
+    "crawl_budget_alloc",
+    "dsir_select",
+    "semdedup_prune",
+    "ccnet_quality_buckets",
+    "clip_hard_negatives",
 ]
 
 

@@ -119,7 +119,11 @@ def _cpu_jiffies() -> tuple[int, int]:
 
 def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
     from crunchy_spark.bloom import build_bloom, filter_unseen
-    from crunchy_spark.frontier import first_arrival, select_fetchable
+    from crunchy_spark.frontier import (
+        first_arrival,
+        select_fetchable,
+        verify_host_key_injective,
+    )
     from crunchy_spark.session import get_spark
     from crunchy_spark.urlnorm import with_url_identity
 
@@ -144,19 +148,39 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
         .localCheckpoint()
     )
     census.count()
+    # dictionary-encode the politeness key: the frontier stream carries
+    # xxhash64(host) (8 bytes) instead of the host string through the
+    # dedup shuffle, probed checkpoint, and both window exchanges —
+    # identical semantics (politeness keys on host IDENTITY), verified
+    # injective on the host-sized census before use; the string comes
+    # back via a broadcast dim join on the budget-sized selection.
+    verify_host_key_injective(census)
+    census_k = census.select(
+        F.xxhash64("host").alias("host_key"), "n_pending"
+    )
+    policy_k = policy.withColumn("host_key", F.xxhash64("host")).drop("host")
+    host_dim = census.select("host", F.xxhash64("host").alias("host_key"))
 
     def pipeline():
         ident = with_url_identity(frontier, "url")
         # column pruning before the first shuffle: scheduling needs only
         # the identity + ordering keys; the URL strings (the wide columns)
         # stay in the scan stage and never ride a shuffle or the persist.
-        ident = ident.select("sha_int", "seq", "host", "site", "queue_rank")
+        # `site` is NOT carried: queue_rank already encodes it and nothing
+        # downstream reads it — an extra string column would ride every
+        # shuffle and the probed checkpoint for nothing.
+        ident = ident.select(
+            "sha_int", "seq", F.xxhash64("host").alias("host_key"), "queue_rank"
+        )
         dedup = first_arrival(ident, "sha_int", ("seq",))
         fresh = filter_unseen(dedup, seen, bloom=bloom, use_bloom=True)
         # 1-hour logical round at the reference's 5s crawl delay => 720/host
-        return select_fetchable(
-            fresh, policy, round_seconds=3600.0, salt_k=32, census=census
+        sel = select_fetchable(
+            fresh, policy_k, round_seconds=3600.0, salt_k=32,
+            census=census_k, host_col="host_key",
         )
+        # restore the host string on the selected (budget-sized) rows only
+        return sel.join(F.broadcast(host_dim), "host_key")
 
     # warm-up: one untimed execution of the same plan in this fresh JVM —
     # steady-state protocol (JIT + codegen compile + python-worker spawn
@@ -224,9 +248,43 @@ def run_level(master: str, cores: int, data_dir: str) -> dict:
 
 
 PAIRS = [(2, 8), (4, 16), (8, 32)]
-# this VM's raw-CPU scaling ceiling per pair (pure-Python busy-loop
-# fleet, measured 2026-08-17; see module docstring table)
-CEILING = {"2_to_8": 0.886, "4_to_16": 0.90, "8_to_32": 0.73}
+
+
+def _burn(q, seconds: float) -> None:
+    import time as _time
+
+    t0 = _time.time()
+    n = 0
+    x = 0
+    while _time.time() - t0 < seconds:
+        for _ in range(100_000):
+            x += 1
+        n += 100_000
+    q.put(n / (_time.time() - t0))
+
+
+def measure_ceiling(seconds: float = 6.0) -> dict:
+    """This VM's raw-CPU scaling ceiling per pair, measured NOW: a
+    pure-Python busy-loop fleet (no Spark, no I/O) at each parallelism
+    level; ceiling(lo->hi) = rate(hi) / (4 * rate(lo)). Measured inside
+    the same run as the Spark levels because the sandbox VM drifts
+    between performance regimes day to day (hardcoding a ceiling from an
+    earlier session mis-attributes engine behavior to the hypervisor, or
+    vice versa)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for k in sorted({c for pair in PAIRS for c in pair}):
+        q = mp.Queue()
+        ps = [mp.Process(target=_burn, args=(q, seconds)) for _ in range(k)]
+        [p.start() for p in ps]
+        rates[k] = round(sum(q.get() for _ in ps) / 1e6, 1)
+        [p.join() for p in ps]
+    pairs = {
+        f"{lo}_to_{hi}": round(rates[hi] / (4.0 * rates[lo]), 3)
+        for lo, hi in PAIRS
+    }
+    return {"rates_mops": rates, "pairs": pairs}
 
 
 def main() -> None:
@@ -241,10 +299,13 @@ def main() -> None:
             check=True,
         )
 
+        ceiling_probe = measure_ceiling()
+        print(f"# ceiling: {ceiling_probe}", file=sys.stderr)
         runs: dict[int, dict] = {}
         for cores in sorted({c for pair in PAIRS for c in pair}):
             runs[cores] = run_level(f"local[{cores}]", cores, tmp)
             print(f"# local[{cores}]: {runs[cores]}", file=sys.stderr)
+    CEILING = ceiling_probe["pairs"]
 
     pairs = {}
     for lo, hi in PAIRS:
@@ -268,6 +329,7 @@ def main() -> None:
         "scaling_efficiency": pairs,
         "scaling_pass_per_pair": pass_flags,
         "hardware_ceiling": CEILING,
+        "hardware_ceiling_rates_mops": ceiling_probe["rates_mops"],
         "scaling_efficiency_vs_ceiling": normalized,
         "primary_pair": "local[2] -> local[8]",
         "primary_efficiency": primary,
@@ -284,6 +346,10 @@ def main() -> None:
         f"| local[{c}] | {r['wall_s']} | {r['urls_per_sec']:,} | "
         f"{max(r.get('steal_frac_all') or [0.0])} |"
         for c, r in sorted(runs.items())
+    )
+    ceiling_rows = "\n".join(
+        f"| {k} | {v} |"
+        for k, v in sorted(ceiling_probe["rates_mops"].items())
     )
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(
@@ -319,33 +385,32 @@ than at steal ~0.0).
 
 **Scaling efficiency** = T_N / (4 * T_4N):
 
-| pair | efficiency | raw-CPU ceiling of this VM |
+| pair | efficiency | raw-CPU ceiling of this VM (this run) |
 |---|---|---|
-| local[2] -> local[8] (primary) | **{pairs["2_to_8"]:.3f}** | 0.886 |
-| local[4] -> local[16] | {pairs["4_to_16"]:.3f} | 0.90 |
-| local[8] -> local[32] | {pairs["8_to_32"]:.3f} | 0.73 |
+| local[2] -> local[8] (primary) | **{pairs["2_to_8"]:.3f}** | {CEILING["2_to_8"]} |
+| local[4] -> local[16] | {pairs["4_to_16"]:.3f} | {CEILING["4_to_16"]} |
+| local[8] -> local[32] | {pairs["8_to_32"]:.3f} | {CEILING["8_to_32"]} |
 
 Target >= 0.8: **{"PASS" if primary >= 0.8 else "MISS"}** on the primary pair.
 
 ## Why 2 -> 8 is the primary pair
 
 The sandbox VM advertises 32 vCPUs but does not deliver 32 cores of
-aggregate cycles — or of memory bandwidth — under load. A pure-Python
-busy-loop fleet (no Spark, no I/O) measures:
+aggregate cycles — or of memory bandwidth — under load, and it DRIFTS
+between performance regimes day to day, so the raw-CPU ceiling is
+measured inside this very run (pure-Python busy-loop fleet, no Spark,
+no I/O — `measure_ceiling()`):
 
-| procs | aggregate M ops/s | eff vs 4x fewer |
-|---|---|---|
-| 2 | 17.8 | — |
-| 4 | 36.0 | — |
-| 8 | 63.1 | 0.886 (vs 2) |
-| 16 | 129.4 | 0.90 (vs 4) |
-| 32 | 183.5 | 0.73 (vs 8) |
+| procs | aggregate M ops/s (this run) |
+|---|---|
+{ceiling_rows}
 
-i.e. the HARDWARE caps 8->32 at 0.73 before any software runs, and
-memory-bound work (shuffle sorts, hash aggregations, cache writes — the
-bulk of this job) saturates the single shared memory domain earlier than
-that pure-compute curve. The low pairs measure the engine's parallel
-fraction rather than the hypervisor's throttling. On a real cluster,
+Pure-compute scaling is the CPU ceiling; memory-bound work (shuffle
+sorts, hash aggregations, cache writes — the bulk of this job)
+saturates the single shared memory domain earlier than that
+pure-compute curve, and does so harder the faster the cores clock. The
+low pairs measure the engine's parallel fraction rather than the
+hypervisor's throttling. On a real cluster,
 N->4N EXECUTORS multiply memory bandwidth, disk, and shuffle fabric as
 well as cores — each executor keeps its own memory domain — so the
 single-box pair is the conservative bound: a plan with no serial stages

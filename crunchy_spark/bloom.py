@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 BLOOM_SCHEMA = "bucket int, words array<long>, n_keys long"
 K_HASHES = 7
@@ -210,7 +211,16 @@ def filter_unseen(
     # reclaimed by the ContextCleaner when the DataFrame is GC'd, so a
     # long-running crawl (run_round x 10^4) doesn't accumulate pinned
     # cache entries that only an explicit unpersist would free.
-    probed = probe_bloom(candidates, bloom, n_buckets).localCheckpoint()
+    # DISK_ONLY (serialized, rides the OS page cache on a warm box):
+    # deserialized on-heap rows made this the memory-bandwidth + GC
+    # hotspot of the whole scheduling round once cores stop being the
+    # bottleneck — measured 36s -> 31s/round at local[8] on the 16M-URL
+    # scaling bench, and wall variance tightened 3x. At 2 cores the
+    # serialization CPU costs ~9% instead; the deployment target is
+    # wide executors, so the trade goes to the scaled configuration.
+    probed = probe_bloom(candidates, bloom, n_buckets).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen_keys, "sha_int", "left_anti")

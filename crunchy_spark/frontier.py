@@ -146,6 +146,29 @@ def seeds_to_frontier(seeds: DataFrame, n_images: int) -> DataFrame:
     return out.select([f.name for f in schemas.FRONTIER.fields])
 
 
+def verify_host_key_injective(hosts: DataFrame, host_col: str = "host") -> None:
+    """Assert xxhash64 dictionary-encodes the live host set injectively.
+
+    The scheduling hot path can carry an 8-byte ``xxhash64(host)`` key
+    instead of the host string (politeness is keyed on host IDENTITY, so
+    any injective encoding is semantically identical — and the string
+    otherwise rides every shuffle and the probed checkpoint). Injectivity
+    is verified on the HOST-SIZED side (census/policy), never the
+    frontier: two checksums over a table with one row per host. Expected
+    collisions at 10^8 hosts: ~2.7e-4 birthday pairs — and if one ever
+    appears this raises, so the caller falls back to string keys rather
+    than silently merging two hosts' budgets."""
+    r = hosts.agg(
+        F.countDistinct(host_col).alias("h"),
+        F.countDistinct(F.xxhash64(host_col)).alias("k"),
+    ).collect()[0]
+    if r["h"] != r["k"]:
+        raise ValueError(
+            f"xxhash64 collides on the live host set ({r['h']} hosts, "
+            f"{r['k']} keys) — use string host keys for this round"
+        )
+
+
 def select_fetchable(
     pending: DataFrame,
     host_policy: DataFrame,
@@ -154,6 +177,7 @@ def select_fetchable(
     global_budget: int | None = None,
     census: DataFrame | None = None,
     rows_per_salt: int = 4096,
+    host_col: str = "host",
 ) -> DataFrame:
     """The scheduler pop, as one declarative plan.
 
@@ -182,6 +206,13 @@ def select_fetchable(
 
     ``global_budget`` additionally caps the whole round by (queue_rank,
     seq) — reference-parity mode (the serial crawler is global_budget=1).
+
+    ``host_col``: the politeness key column. Callers on the hot path
+    pass a dictionary-encoded 8-byte key (xxhash64(host), verified
+    injective on the host-sized side via verify_host_key_injective)
+    instead of the host string — identical semantics, ~half the bytes
+    through the two window exchanges; pending/policy/census must all be
+    keyed by the same column.
     """
     # the census folds into the SAME broadcast as the policy (one small-
     # table join on the driver side of the broadcast, one exchange, one
@@ -189,13 +220,13 @@ def select_fetchable(
     # that cost ~10% wall at local[8] for zero benefit
     if census is not None:
         pol = host_policy.join(
-            census.select("host", F.col("n_pending").alias("_host_n")),
-            "host",
+            census.select(host_col, F.col("n_pending").alias("_host_n")),
+            host_col,
             "full_outer",
         )
     else:
         pol = host_policy
-    j = pending.join(F.broadcast(pol), "host", "left")
+    j = pending.join(F.broadcast(pol), host_col, "left")
     j = j.filter(F.coalesce(F.col("robots_allow"), F.lit(True)))
     budget = (
         F.greatest(
@@ -218,9 +249,9 @@ def select_fetchable(
         j = j.withColumn("_salt", F.pmod(F.col("sha_int"), k_host)).drop("_host_n")
     else:
         j = j.withColumn("_salt", F.pmod(F.col("sha_int"), F.lit(salt_k)))
-    w1 = Window.partitionBy("host", "_salt").orderBy("queue_rank", "seq")
+    w1 = Window.partitionBy(host_col, "_salt").orderBy("queue_rank", "seq")
     j = j.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("_budget"))
-    w2 = Window.partitionBy("host").orderBy("queue_rank", "seq")
+    w2 = Window.partitionBy(host_col).orderBy("queue_rank", "seq")
     j = j.withColumn("_rn2", F.row_number().over(w2)).filter(F.col("_rn2") <= F.col("_budget"))
     if global_budget is not None:
         wg = Window.orderBy("queue_rank", "seq")

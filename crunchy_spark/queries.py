@@ -4921,3 +4921,177 @@ def semdedup_prune(spark, sf_dir):
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+CCNET_BUCKETS = ("tail", "middle", "head")
+
+
+@register(
+    "ccnet_quality_buckets",
+    """
+    WITH e AS (SELECT doc_id, lang,
+                      unnest(string_split_regex(lower(text), '\\s+')) AS tok
+               FROM documents),
+    fr AS (SELECT tok, count(*) AS freq FROM e GROUP BY tok),
+    tot AS (SELECT sum(freq)::DOUBLE AS n_total FROM fr),
+    sc AS (SELECT e.doc_id, e.lang,
+                  round(avg(ln(fr.freq / tot.n_total)), 4) AS score
+           FROM e JOIN fr USING (tok) CROSS JOIN tot
+           GROUP BY e.doc_id, e.lang),
+    q AS (SELECT lang, quantile_cont(score, 1.0/3) AS q1,
+                 quantile_cont(score, 2.0/3) AS q2
+          FROM sc GROUP BY lang)
+    SELECT doc_id, lang, score,
+           CASE WHEN score <= q1 THEN 'tail'
+                WHEN score <= q2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sc JOIN q USING (lang)
+    """,
+)
+def ccnet_quality_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document by its corpus-LM mean token log-prob (the perplexity proxy
+    of unigram_logprob_quality) and cut each LANGUAGE into head/middle/
+    tail terciles — the curriculum label CCNet ships with CommonCrawl
+    and that pretraining mixes sample against. Per-language cuts matter:
+    an absolute threshold would dump whole low-resource languages into
+    'tail'.
+
+    Scale shape: the scoring reuses the single-scan unigram pipeline
+    (one explode, one (tok) agg, vocab shuffle-join, map-side-combinable
+    per-doc agg). Tercile boundaries are an exact interpolated
+    `percentile` over the PER-DOC score table grouped by lang (doc-
+    sized, not corpus-sized) — at 100 TB swap for `approx_percentile`
+    (t-digest, mergeable), same documented trade as
+    event_value_quantiles; the lang-sized boundary table broadcasts
+    back for the codegen'd bucket assignment. Boundaries are computed
+    from the 4dp-ROUNDED scores in both engines, so interpolation ulp
+    can't flip a boundary comparison (a rounded score equal to a
+    boundary neighbor compares identically cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    fr = e.groupBy("tok").agg(F.count("*").alias("freq"))
+    tot = fr.agg(F.sum("freq").cast("double").alias("n_total"))
+    sc = (
+        e.join(fr, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.avg(F.log(F.col("freq") / F.col("n_total"))), 4).alias("score")
+        )
+        .localCheckpoint()  # feeds both the boundary agg and the assignment
+    )
+    q = sc.groupBy("lang").agg(
+        F.percentile("score", F.lit(1.0 / 3)).alias("q1"),
+        F.percentile("score", F.lit(2.0 / 3)).alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("q1"), "tail")
+        .when(F.col("score") <= F.col("q2"), "middle")
+        .otherwise("head")
+    )
+    return (
+        sc.join(F.broadcast(q), "lang")
+        .select("doc_id", "lang", "score", bucket.alias("bucket"))
+    )
+
+
+CLIP_NEG_TOK_CAP = 32  # caption tokens on more captions are stopwords here
+CLIP_NEG_MIN_JAC = 0.001  # any shared rare token qualifies as "hard"
+
+
+@register(
+    "clip_hard_negatives",
+    f"""
+    WITH c AS (SELECT image_id, caption,
+                      list_distinct(string_split_regex(lower(caption), '\\s+'))
+                        AS toks
+               FROM read_parquet('{_IMAGES_META}')),
+    e AS (SELECT image_id, caption, unnest(toks) AS tok FROM c),
+    rare AS (SELECT tok FROM e GROUP BY tok
+             HAVING count(*) <= {CLIP_NEG_TOK_CAP}),
+    re AS (SELECT e.image_id, e.caption, e.tok FROM e JOIN rare USING (tok)),
+    tot AS (SELECT image_id, count(*) AS n FROM re GROUP BY image_id),
+    shared AS (SELECT a.image_id AS anchor_id, b.image_id AS neg_id,
+                      count(*) AS n_shared
+               FROM re a JOIN re b
+                 ON a.tok = b.tok AND a.image_id <> b.image_id
+                    AND a.caption <> b.caption
+               GROUP BY 1, 2),
+    j AS (SELECT anchor_id, neg_id,
+                 round(n_shared::DOUBLE / (ta.n + tb.n - n_shared), 4) AS jac
+          FROM shared JOIN tot ta ON ta.image_id = anchor_id
+                      JOIN tot tb ON tb.image_id = neg_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY jac DESC, neg_id) AS rn
+          FROM j WHERE jac >= {CLIP_NEG_MIN_JAC})
+    SELECT anchor_id, neg_id, jac FROM r WHERE rn = 1
+    """,
+)
+def clip_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive image-text training: for
+    each image, the most-confusable OTHER image = the one whose caption
+    shares the most rare tokens (top-1 by capped-token Jaccard) while
+    the caption itself differs — the in-batch negatives that make a
+    CLIP-style loss learn fine-grained distinctions instead of trivial
+    ones. Exact-caption matches are excluded (those are duplicates —
+    crossmodal_dup_classify's department, not negatives).
+
+    Scale shape: token-postings equi-join with an idf cap (tokens on
+    more than {CLIP_NEG_TOK_CAP} captions are dropped first — the
+    ubiquitous 'caption'/'photo' tokens would otherwise make the
+    postings join all-pairs; the cap bounds candidates per token at
+    C(cap,2), same discipline as mirror_host_detect). Jaccard is
+    computed over the CAPPED token sets; the top-1 window partitions
+    by anchor. Ignores sf_dir (fixture universe, like the other
+    images_meta ops)."""
+    c = spark.read.parquet(_IMAGES_META).select(
+        "image_id",
+        "caption",
+        F.array_distinct(F.split(F.lower("caption"), r"\s+")).alias("toks"),
+    )
+    e = c.select("image_id", "caption", F.explode("toks").alias("tok"))
+    rare = e.groupBy("tok").agg(F.count("*").alias("n_caps")).filter(
+        F.col("n_caps") <= CLIP_NEG_TOK_CAP
+    )
+    re_ = e.join(rare.select("tok"), "tok").localCheckpoint()
+    tot = re_.groupBy("image_id").agg(F.count("*").alias("n"))
+    b = re_.select(
+        F.col("image_id").alias("neg_id"),
+        F.col("caption").alias("caption_b"),
+        "tok",
+    )
+    shared = (
+        re_.join(b, "tok")
+        .filter(
+            (F.col("image_id") != F.col("neg_id"))
+            & (F.col("caption") != F.col("caption_b"))
+        )
+        .groupBy(F.col("image_id").alias("anchor_id"), "neg_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        4,
+    )
+    j = (
+        shared.join(
+            tot.select(F.col("image_id").alias("anchor_id"), F.col("n").alias("n_a")),
+            "anchor_id",
+        )
+        .join(
+            tot.select(F.col("image_id").alias("neg_id"), F.col("n").alias("n_b")),
+            "neg_id",
+        )
+        .select("anchor_id", "neg_id", jac.alias("jac"))
+        .filter(F.col("jac") >= CLIP_NEG_MIN_JAC)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("jac"), "neg_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "neg_id", "jac")
+    )

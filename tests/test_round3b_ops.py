@@ -101,3 +101,63 @@ def test_semdedup_dup_witness(spark):
         assert all(
             round(cos(emb[v.vec_id], emb[m]), 4) < SEMDEDUP_TAU for m in mates
         ), f"kept {v.vec_id} should have been marked dup"
+
+
+def test_ccnet_buckets_ordered_within_lang(spark):
+    from crunchy_spark.queries import ccnet_quality_buckets
+
+    rows = ccnet_quality_buckets(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs  # every document gets a label
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.score)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"tail", "middle", "head"}
+        # terciles: every bucket non-empty and score-ordered
+        assert len(buckets) == 3, (lang, buckets.keys())
+        assert max(buckets["tail"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["head"])
+        # cuts are per-language: each bucket holds roughly a third
+        n = sum(len(v) for v in buckets.values())
+        for v in buckets.values():
+            assert n / 6 <= len(v) <= n / 2 + 1
+
+
+def test_clip_hard_negatives_top1_witness(spark):
+    from crunchy_spark.queries import (
+        CLIP_NEG_TOK_CAP,
+        clip_hard_negatives,
+        _IMAGES_META,
+    )
+
+    rows = clip_hard_negatives(spark, SF).collect()
+    assert rows
+    anchors = [r.anchor_id for r in rows]
+    assert len(anchors) == len(set(anchors))  # top-1: one row per anchor
+    meta = {
+        r.image_id: r.caption
+        for r in spark.read.parquet(_IMAGES_META).collect()
+    }
+    # recompute capped-token jaccard in python and check the winner
+    from collections import Counter
+
+    toks = {i: set(c.lower().split()) for i, c in meta.items()}
+    df = Counter(t for s in toks.values() for t in s)
+    capped = {
+        i: {t for t in s if df[t] <= CLIP_NEG_TOK_CAP} for i, s in toks.items()
+    }
+    for r in rows[:20]:
+        assert r.anchor_id != r.neg_id
+        assert meta[r.anchor_id] != meta[r.neg_id]  # exact dups excluded
+        a = capped[r.anchor_id]
+        best = max(
+            (
+                (round(len(a & b) / len(a | b), 4), -int(i[3:], 10), i)
+                for i, b in capped.items()
+                if i != r.anchor_id and meta[i] != meta[r.anchor_id] and a & b
+            ),
+            default=None,
+        )
+        assert best is not None
+        assert (r.jac, r.neg_id) == (best[0], best[2]), (r, best)
