@@ -180,6 +180,14 @@ def main() -> None:
             result["scaling_efficiency_vs_ceiling"] = s.get(
                 "scaling_efficiency_vs_ceiling"
             )
+        if "hardware_ceiling" in s:
+            # the raw-CPU scaling cap measured INSIDE the scaling run
+            # (busy-loop fleet) — the provenance that separates engine
+            # behavior from the sandbox VM's day-to-day regime drift
+            result["hardware_ceiling"] = s["hardware_ceiling"]
+            result["hardware_ceiling_rates_mops"] = s.get(
+                "hardware_ceiling_rates_mops"
+            )
         # provenance: these numbers come from the last scaling_bench run,
         # not from this bench invocation — say when/where, never silently
         result["scaling_measured_at"] = s.get("generated_at", "unknown")
