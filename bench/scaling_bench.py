@@ -218,13 +218,24 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
 def run_in_subprocess(
     master: str, cores: int, data_dir: str, reps: int = 5
 ) -> dict:
-    """One fresh JVM per parallelism level (see module docstring)."""
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", master, str(cores),
-         data_dir, str(reps)],
-        capture_output=True, text=True, check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    """One fresh JVM per parallelism level (see module docstring).
+
+    On child failure the child's stderr tail is surfaced (the default
+    CalledProcessError hides it) and the level is retried once — this
+    sandbox's JVMs occasionally die to hypervisor memory pressure, and
+    losing a 40-minute protocol run to one transient death is worse
+    than one biased-late retry (the retry is a fresh JVM on the same
+    input, so the measurement itself is unaffected)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--one", master,
+           str(cores), data_dir, str(reps)]
+    for attempt in (1, 2):
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"# {master} child failed (attempt {attempt}):\n"
+              + "\n".join(out.stderr.strip().splitlines()[-15:]),
+              file=sys.stderr)
+    raise RuntimeError(f"scaling child {master} failed twice; see stderr above")
 
 
 def run_level(master: str, cores: int, data_dir: str) -> dict:
