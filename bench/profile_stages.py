@@ -31,7 +31,11 @@ def run_stages(master: str, cores: int, data_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from crunchy_spark.bloom import build_bloom, filter_unseen
-    from crunchy_spark.frontier import first_arrival, select_fetchable
+    from crunchy_spark.frontier import (
+        first_arrival,
+        max_host_budget,
+        select_fetchable,
+    )
     from crunchy_spark.session import get_spark
     from crunchy_spark.urlnorm import with_url_identity
 
@@ -72,10 +76,12 @@ def run_stages(master: str, cores: int, data_dir: str) -> dict:
     def stage_unseen():
         return filter_unseen(stage_dedup(), seen, bloom=bloom, use_bloom=True)
 
+    maxb = max_host_budget(policy, 3600.0)
+
     def stage_select():
         sel = select_fetchable(
             stage_unseen(), policy_k, round_seconds=3600.0, salt_k=32,
-            census=census_k, host_col="host_key",
+            census=census_k, host_col="host_key", max_budget=maxb,
         )
         return sel.join(F.broadcast(host_dim), "host_key")
 

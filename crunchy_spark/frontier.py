@@ -169,6 +169,27 @@ def verify_host_key_injective(hosts: DataFrame, host_col: str = "host") -> None:
         )
 
 
+def max_host_budget(host_policy: DataFrame, round_seconds: float) -> int:
+    """Upper bound on any host's per-round budget: one tiny aggregate
+    over the HOST-sized policy table (never the frontier), floored by
+    the default-policy budget (delay=5s, concurrency=1) that hosts
+    absent from the table receive. Feed the result to
+    ``select_fetchable(max_budget=...)`` so its rank filters carry a
+    plan-time literal (the WindowGroupLimit rewrite condition)."""
+    b = (
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(round_seconds) / F.coalesce(F.col("crawl_delay_s"), F.lit(5.0))
+            ),
+        )
+        * F.coalesce(F.col("max_concurrent"), F.lit(1))
+    ).cast("int")
+    row = host_policy.agg(F.max(b).alias("m")).first()
+    default_b = max(1, int(round_seconds // 5.0))
+    return max(default_b, int(row["m"]) if row and row["m"] is not None else 1)
+
+
 def select_fetchable(
     pending: DataFrame,
     host_policy: DataFrame,
@@ -178,6 +199,7 @@ def select_fetchable(
     census: DataFrame | None = None,
     rows_per_salt: int = 4096,
     host_col: str = "host",
+    max_budget: int | None = None,
 ) -> DataFrame:
     """The scheduler pop, as one declarative plan.
 
@@ -213,7 +235,20 @@ def select_fetchable(
     instead of the host string — identical semantics, ~half the bytes
     through the two window exchanges; pending/policy/census must all be
     keyed by the same column.
+
+    ``max_budget``: a plan-time upper bound on every host's budget.
+    Each rank filter carries the redundant literal conjunct
+    ``rn <= max_budget`` alongside the exact per-host column test, which
+    lets Catalyst's InferWindowGroupLimit rewrite the windows from
+    full-partition sorts into bounded per-group top-k heaps
+    (WindowGroupLimitExec) — the column-only filter does not qualify.
+    Semantics are unchanged (the literal is >= every ``_budget``).
+    ``None`` = derive it with one host-sized aggregate over
+    ``host_policy`` (engine callers that keep the policy as state should
+    compute it once per policy change and pass it in).
     """
+    if max_budget is None:
+        max_budget = max_host_budget(host_policy, round_seconds)
     # the census folds into the SAME broadcast as the policy (one small-
     # table join on the driver side of the broadcast, one exchange, one
     # probe) — a separate census join added a second broadcast barrier
@@ -250,9 +285,13 @@ def select_fetchable(
     else:
         j = j.withColumn("_salt", F.pmod(F.col("sha_int"), F.lit(salt_k)))
     w1 = Window.partitionBy(host_col, "_salt").orderBy("queue_rank", "seq")
-    j = j.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= F.col("_budget"))
+    j = j.withColumn("_rn1", F.row_number().over(w1)).filter(
+        (F.col("_rn1") <= F.lit(max_budget)) & (F.col("_rn1") <= F.col("_budget"))
+    )
     w2 = Window.partitionBy(host_col).orderBy("queue_rank", "seq")
-    j = j.withColumn("_rn2", F.row_number().over(w2)).filter(F.col("_rn2") <= F.col("_budget"))
+    j = j.withColumn("_rn2", F.row_number().over(w2)).filter(
+        (F.col("_rn2") <= F.lit(max_budget)) & (F.col("_rn2") <= F.col("_budget"))
+    )
     if global_budget is not None:
         wg = Window.orderBy("queue_rank", "seq")
         j = j.withColumn("_rng", F.row_number().over(wg)).filter(

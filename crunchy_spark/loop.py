@@ -76,6 +76,10 @@ class CrawlEngine:
         self.host_policy = spark.read.parquet(
             os.path.join(fixtures_dir, "host_policy.parquet")
         )
+        # plan-time budget cap for the politeness rank-limit pushdown
+        # (WindowGroupLimit needs a literal); the policy is static per
+        # engine, so derive it once, not once per round
+        self._max_budget: int | None = None
 
     # ------------------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> int:
@@ -232,6 +236,12 @@ class CrawlEngine:
 
         pending = frontier.filter(F.col("status") == "pending")
         census = self.host_census_view() if self.conf.adaptive_salt else None
+        if self._max_budget is None:
+            from .frontier import max_host_budget
+
+            self._max_budget = max_host_budget(
+                self.host_policy, self.conf.round_seconds
+            )
         selected = select_fetchable(
             pending,
             self.host_policy,
@@ -240,6 +250,7 @@ class CrawlEngine:
             global_budget=self.conf.global_budget,
             census=census,
             rows_per_salt=self.conf.rows_per_salt,
+            max_budget=self._max_budget,
         )
         # the crawl order, assigned deterministically (W2: FIFO via seq) —
         # parallel range-sorted rank, no single-partition global window

@@ -182,3 +182,23 @@ def test_latest_state_keeps_highest_version(spark):
         (2, 0, "pending", "b"),
         (3, 3, "failed", "c"),
     }
+
+
+def test_rank_limit_pushdown_and_equivalence(spark, pending, policy):
+    """With a plan-time max_budget literal, both politeness windows
+    compile to WindowGroupLimit (bounded per-group top-k heaps, not
+    full partition sorts) — and select the exact same rows as the
+    column-only budget filter."""
+    from crunchy_spark.frontier import max_host_budget
+
+    mb = max_host_budget(policy, 25.0)
+    capped = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, max_budget=mb
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # partial + final per window, two windows
+    assert plan.count("WindowGroupLimit") >= 4, plan
+    uncapped = select_fetchable(pending, policy, round_seconds=25.0, salt_k=8)
+    a = sorted(r["sha_int"] for r in capped.collect())
+    b = sorted(r["sha_int"] for r in uncapped.collect())
+    assert a == b
