@@ -41,7 +41,15 @@ def run_stages(master: str, cores: int, data_dir: str) -> dict:
 
     spark = get_spark(
         app_name=f"profile_{cores}", master=master,
-        shuffle_partitions=max(cores * 2, 16),
+        shuffle_partitions=cores * 8,  # mirror scaling_bench.run_once
+        extra_conf={
+            # mirror scaling_bench's faithful-executor emulation
+            "spark.driver.memory": f"{min(48, 3 * cores)}g",
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={max(2, cores)} "
+                f"-XX:ConcGCThreads={max(1, max(2, cores) // 4)}"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     frontier = spark.read.parquet(f"{data_dir}/frontier")
@@ -80,7 +88,7 @@ def run_stages(master: str, cores: int, data_dir: str) -> dict:
 
     def stage_select():
         sel = select_fetchable(
-            stage_unseen(), policy_k, round_seconds=3600.0, salt_k=32,
+            stage_unseen(), policy_k, round_seconds=3600.0, salt_k=128,
             census=census_k, host_col="host_key", max_budget=maxb,
         )
         return sel.join(F.broadcast(host_dim), "host_key")
@@ -112,10 +120,13 @@ def main() -> None:
             check=True,
         )
         results = {}
+        sys.path.insert(0, os.path.join(REPO, "bench"))
+        from scaling_bench import _pin  # same affinity protocol as the bench
+
         for c in cores:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one",
-                 f"local[{c}]", str(c), tmp],
+                _pin(c) + [sys.executable, os.path.abspath(__file__), "--one",
+                           f"local[{c}]", str(c), tmp],
                 capture_output=True, text=True, check=True,
             )
             results[c] = json.loads(out.stdout.strip().splitlines()[-1])

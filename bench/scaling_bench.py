@@ -9,13 +9,14 @@ definition), running the production code paths:
   read frontier parquet
     -> RFC-3986 canonicalize (pyarrow-compute pandas UDF, urlnorm.py)
     -> SHA-1 fingerprint (JVM)
-    -> first-arrival dedup (map-side-combinable min(struct) aggregate,
-       frontier.first_arrival)
+    -> first-arrival dedup (all-primitive min/min_by HashAggregate,
+       map-side combine, zero sorts — frontier.first_arrival)
     -> bloom-prefiltered exact anti-join vs a pre-seeded seen set
        (bloom.filter_unseen)
-    -> two-phase salted per-host politeness ranking
-       (frontier.select_fetchable, crawl_delay=5s, 1-hour round
-        => budget 720/host, 80/20 host skew in the input)
+    -> single-window per-host politeness pop (partial WindowGroupLimit
+       caps each host at budget rows per map partition before the
+       exchange — frontier.select_fetchable auto path; crawl_delay=5s,
+       1-hour round => budget 720/host, 80/20 host skew in the input)
     -> count of the fetchable set
 
 Input is generated once (seed=42, pure column expressions) and shared by
@@ -127,8 +128,25 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
     from crunchy_spark.session import get_spark
     from crunchy_spark.urlnorm import with_url_identity
 
+    # emulate "N identical executors (1 core, 3 GB)" faithfully: heap and
+    # GC parallelism scale WITH the level's cores (capped by the box).
+    # A flat 48g/23-GC-thread JVM gives the 2-core level 4x the heap per
+    # core of the 8-core level and lets 23 GC threads thrash 2 pinned
+    # CPUs — both distort the N-vs-4N ratio in opposite directions.
+    heap_gb = min(48, 3 * cores)
+    gc_threads = max(2, cores)
+    jvm = (
+        f"-XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
+    )
     spark = get_spark(
-        app_name=f"scaling_{cores}", master=master, shuffle_partitions=max(cores * 2, 16)
+        app_name=f"scaling_{cores}",
+        master=master,
+        shuffle_partitions=cores * 8,
+        extra_conf={
+            "spark.driver.memory": f"{heap_gb}g",
+            "spark.driver.extraJavaOptions": jvm,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     frontier = spark.read.parquet(f"{data_dir}/frontier")
@@ -182,7 +200,7 @@ def run_once(master: str, cores: int, data_dir: str, reps: int = 5) -> dict:
         fresh = filter_unseen(dedup, seen, bloom=bloom, use_bloom=True)
         # 1-hour logical round at the reference's 5s crawl delay => 720/host
         sel = select_fetchable(
-            fresh, policy_k, round_seconds=3600.0, salt_k=32,
+            fresh, policy_k, round_seconds=3600.0, salt_k=128,
             census=census_k, host_col="host_key", max_budget=maxb,
         )
         # restore the host string on the selected (budget-sized) rows only
@@ -232,8 +250,8 @@ def run_in_subprocess(
     losing a 40-minute protocol run to one transient death is worse
     than one biased-late retry (the retry is a fresh JVM on the same
     input, so the measurement itself is unaffected)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--one", master,
-           str(cores), data_dir, str(reps)]
+    cmd = _pin(cores) + [sys.executable, os.path.abspath(__file__), "--one",
+                         master, str(cores), data_dir, str(reps)]
     for attempt in (1, 2):
         out = subprocess.run(cmd, capture_output=True, text=True)
         if out.returncode == 0:
@@ -280,6 +298,29 @@ def _burn(q, seconds: float) -> None:
     q.put(n / (_time.time() - t0))
 
 
+def _pin(cores: int) -> list[str]:
+    """CPU-affinity prefix confining a measured level to exactly
+    ``cores`` CPUs (ids 0..cores-1).
+
+    Without this, a local[N] JVM's SERVICE threads — G1 defaults to
+    ~5/8*ncpus parallel GC threads (23 on this 32-vCPU box), plus JIT
+    compiler and IO threads — run unconfined on every idle vCPU, so the
+    low-parallelism level borrows compute its core count doesn't own:
+    measured local[2] at 16M URLs runs 44.9s unpinned vs 67.9s pinned
+    (-34%), local[8] 15.1s vs 20.4s (-26%). A real N-executor cluster
+    pays GC/JIT out of each executor's own cores, so the pinned numbers
+    are the faithful ones; the unpinned ratio systematically flatters
+    the denominator and punishes every CPU optimization with a worse
+    'efficiency'. The ceiling probe is pinned identically so per-core
+    turbo clocking at low occupancy shows up in the ceiling, not in the
+    engine's number."""
+    import shutil
+
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}"]
+    return []
+
+
 def measure_ceiling(seconds: float = 6.0) -> dict:
     """This VM's raw-CPU scaling ceiling per pair, measured NOW: a
     pure-Python busy-loop fleet (no Spark, no I/O) at each parallelism
@@ -292,11 +333,19 @@ def measure_ceiling(seconds: float = 6.0) -> dict:
 
     rates = {}
     for k in sorted({c for pair in PAIRS for c in pair}):
+        # same affinity as the Spark level it calibrates (see _pin)
+        prev = os.sched_getaffinity(0)
+        try:
+            os.sched_setaffinity(0, set(range(k)))
+        except OSError:
+            prev = None
         q = mp.Queue()
         ps = [mp.Process(target=_burn, args=(q, seconds)) for _ in range(k)]
         [p.start() for p in ps]
         rates[k] = round(sum(q.get() for _ in ps) / 1e6, 1)
         [p.join() for p in ps]
+        if prev is not None:
+            os.sched_setaffinity(0, prev)
     pairs = {
         f"{lo}_to_{hi}": round(rates[hi] / (4.0 * rates[lo]), 3)
         for lo, hi in PAIRS
@@ -375,7 +424,13 @@ def main() -> None:
 Per BASELINE.json north_rule, the two-cluster-size criterion is evidenced
 with the same job at two parallelism levels on identical input (seed=42,
 {n:,} frontier URLs, 15% duplicate injection, 80/20 host skew, 10% seen
-overlap). Each level runs in its own subprocess (fresh JVM), executes one
+overlap). Each level runs in its own subprocess (fresh JVM) PINNED to
+exactly N CPUs (`taskset -c 0-{{N-1}}`): without pinning, the JVM's
+service threads — ~23 parallel G1 GC threads on this 32-vCPU box, plus
+JIT and IO — run on every idle vCPU, so a local[2] level borrows
+compute its core count doesn't own (measured -34% wall at 16M URLs); a
+real N-executor cluster pays GC/JIT out of each executor's own cores,
+so the pinned ratio is the faithful one. Each level executes one
 untimed warm-up (JIT + codegen + python-worker spawn are per-executor
 one-time costs in a real deployment, not per-round costs), then reports
 the MIN over TWO independent passes x 4 timed executions each (the
@@ -385,9 +440,10 @@ sample two windows — all 8 walls recorded in bench/scaling_result.json).
 
 Measured job (production code paths): read frontier parquet -> RFC-3986
 canonicalize (pyarrow-compute pandas UDF) -> SHA-1 fingerprint ->
-first-arrival dedup (map-side-combinable min-struct aggregate) -> Bloom-
-prefiltered exact anti-join vs seen -> two-phase salted per-host
-politeness ranking (720/host budget) -> count.
+first-arrival dedup (all-primitive min/min_by HashAggregate) -> Bloom-
+prefiltered exact anti-join vs seen -> single-window per-host politeness
+pop (partial WindowGroupLimit per map partition; 720/host budget) ->
+count.
 
 Every timed rep also samples /proc/stat CPU-STEAL around itself
 (`steal_frac_all` in bench/scaling_result.json): steal is cycles the
@@ -437,7 +493,8 @@ Caveat: local[N] shares one JVM heap and one shuffle disk across both
 levels; real executor scaling adds network shuffle but gains independent
 memory/disk per node. The measured plan contains no driver-side loops,
 collects, or single-partition stages — the mega-host politeness window is
-two-phase salted so no task ever sees the 80%-host's full row set.
+rank-limit-pushed (partial WindowGroupLimit caps every host at budget
+rows per map partition) so no task ever sees the 80%-host's full row set.
 """
         )
 

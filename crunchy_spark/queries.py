@@ -691,8 +691,12 @@ def normalized_domain(spark, sf_dir):
     """,
 )
 def politeness_schedule(spark, sf_dir):
-    """W3: per-host politeness budget via the engine's two-phase salted
-    ranking (select_fetchable); oracle is the single-window equivalent.
+    """W3: per-host politeness budget via the engine's scheduler pop
+    (select_fetchable auto mode — the plan-time budget literal qualifies
+    for InferWindowGroupLimit, so this compiles to a single window whose
+    partial WindowGroupLimit caps every host per map partition before
+    the exchange; hosts beyond the rewrite threshold fall back to the
+    two-phase salted path). Oracle is the definitional single window.
     Reference: DOWNLOAD_DELAY/CONCURRENT_REQUESTS settings.py:122-130."""
     from .frontier import select_fetchable
 

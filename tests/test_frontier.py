@@ -108,6 +108,38 @@ def test_first_arrival_equals_window_dedup(spark):
     assert got == want
 
 
+def test_first_arrival_primitive_fast_path(spark):
+    """All-fixed-width payload (the scheduling hot path shape) must (a)
+    produce exactly the window-dedup rows and (b) compile to a
+    HashAggregate with no SortAggregate — min(struct(...)) buffers are
+    not UnsafeRow-mutable, so the struct form silently costs two full
+    sorts of the frontier per round."""
+    from pyspark.sql import Window
+
+    from crunchy_spark.frontier import first_arrival
+
+    df = spark.range(2000).select(
+        (F.col("id") % 211).alias("sha_int"),
+        F.col("id").alias("seq"),
+        ((F.col("id") * 37) % 100).alias("host_key"),
+        (F.col("id") % 3).cast("int").alias("queue_rank"),
+    )
+    fa = first_arrival(df, "sha_int", ("seq",))
+    plan = fa._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    got = {tuple(r) for r in fa.collect()}
+    w = Window.partitionBy("sha_int").orderBy("seq")
+    want = {
+        tuple(r)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want
+
+
 def test_first_arrival_multi_order_cols(spark):
     from pyspark.sql import Window
 
@@ -153,14 +185,41 @@ def test_adaptive_salt_equals_fixed_salt(spark, pending, policy):
     (wrong counts only change k, never the rank order)."""
     census = pending.groupBy("host").agg(F.count("*").alias("n_pending"))
     stale = census.withColumn("n_pending", F.col("n_pending") * 100 + 7)
-    fixed = select_fetchable(pending, policy, round_seconds=25.0, salt_k=8)
+    fixed = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, two_phase=True
+    )
     fk = {(r["host"], r["seq"]) for r in fixed.select("host", "seq").collect()}
     for c in (census, stale):
         adaptive = select_fetchable(
-            pending, policy, round_seconds=25.0, salt_k=8, census=c, rows_per_salt=3
+            pending, policy, round_seconds=25.0, salt_k=8, census=c,
+            rows_per_salt=3, two_phase=True,
         )
         ak = {(r["host"], r["seq"]) for r in adaptive.select("host", "seq").collect()}
         assert fk == ak
+
+
+def test_single_window_equals_two_phase(spark, pending, policy):
+    """The single-window path (partial WindowGroupLimit as the implicit
+    salt) must select exactly the rows the salted two-phase path does,
+    and its plan must carry exactly ONE politeness window: one
+    partial+final WindowGroupLimit pair, no _salt column, one exchange."""
+    salted = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, two_phase=True
+    )
+    single = select_fetchable(
+        pending, policy, round_seconds=25.0, two_phase=False
+    )
+    sk = {(r["host"], r["seq"]) for r in salted.select("host", "seq").collect()}
+    gk = {(r["host"], r["seq"]) for r in single.select("host", "seq").collect()}
+    assert sk == gk
+    plan = single._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+    assert "_salt" not in plan, plan
+    # auto mode picks the single path when the cap fits the rewrite
+    # threshold (these budgets do)
+    auto = select_fetchable(pending, policy, round_seconds=25.0)
+    aplan = auto._jdf.queryExecution().executedPlan().toString()
+    assert aplan.count("WindowGroupLimit") == 2, aplan
 
 
 def test_latest_state_keeps_highest_version(spark):
@@ -193,12 +252,15 @@ def test_rank_limit_pushdown_and_equivalence(spark, pending, policy):
 
     mb = max_host_budget(policy, 25.0)
     capped = select_fetchable(
-        pending, policy, round_seconds=25.0, salt_k=8, max_budget=mb
+        pending, policy, round_seconds=25.0, salt_k=8, max_budget=mb,
+        two_phase=True,
     )
     plan = capped._jdf.queryExecution().executedPlan().toString()
     # partial + final per window, two windows
     assert plan.count("WindowGroupLimit") >= 4, plan
-    uncapped = select_fetchable(pending, policy, round_seconds=25.0, salt_k=8)
+    uncapped = select_fetchable(
+        pending, policy, round_seconds=25.0, salt_k=8, two_phase=True
+    )
     a = sorted(r["sha_int"] for r in capped.collect())
     b = sorted(r["sha_int"] for r in uncapped.collect())
     assert a == b
