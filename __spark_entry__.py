@@ -83,6 +83,9 @@ _PRIORITY = [
     "tfidf_topk_terms",
     "host_pagerank",
     "recrawl_schedule",
+    "dup_span_detect",
+    "token_zipf_slope",
+    "skew_diagnostics",
 ]
 
 

@@ -5099,3 +5099,265 @@ def clip_hard_negatives(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("anchor_id", "neg_id", "jac")
     )
+
+
+# ===========================================================================
+# H. Round-3b additions: substring-level dedup, corpus health, skew
+# diagnostics (the partition-skew lens the north rule asks for explicitly)
+# ===========================================================================
+
+# Exact-substring dedup at token-window granularity (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": ExactSubstr
+# hashes every K-token position; K=50 there, K=8 here for the synthetic
+# corpus's ~150-token docs). A suffix array is the single-node tool; the
+# distributed equivalent is a rolling window explode + hash agg, which is
+# linear in corpus tokens and map-side combinable.
+DUP_SPAN_K = 8  # tokens per window (stride 1, alignment-robust)
+DUP_SPAN_HEAVY = 0.2  # dup_frac above this marks the doc for removal
+
+# Overlapping K-gram windows as an array of joined strings; guarded so
+# docs shorter than K yield [] (Spark's sequence(1,0) would DESCEND).
+_SPAN_GRAMS_SPARK = (
+    "CASE WHEN size(toks) >= {k} THEN "
+    "transform(sequence(1, size(toks) - {k} + 1), "
+    "i -> array_join(slice(toks, i, {k}), ' ')) "
+    "ELSE array() END"
+).format(k=DUP_SPAN_K)
+
+# DuckDB twin: range(a,b) is [a,b) and empty when b<=a; list slice is
+# inclusive on both ends so toks[i : i+K-1] is K elements.
+_SPAN_GRAMS_SQL = (
+    "list_transform(range(1, len(toks) - {k} + 2), "
+    "i -> array_to_string(toks[i : i + {k} - 1], ' '))"
+).format(k=DUP_SPAN_K)
+
+
+@register(
+    "dup_span_detect",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_RAW_SQL} AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(list_transform({_SPAN_GRAMS_SQL},
+                        g -> {_MD5_INT_SQL.format(c='g')})) AS gram_h
+          FROM t),
+    per_doc_gram AS (SELECT DISTINCT doc_id, gram_h FROM w),
+    dup AS (SELECT gram_h FROM per_doc_gram
+            GROUP BY gram_h HAVING count(*) >= 2),
+    counts AS (SELECT w.doc_id,
+                      count(*) AS n_windows,
+                      count(*) FILTER (WHERE dup.gram_h IS NOT NULL)
+                        AS n_dup_windows
+               FROM w LEFT JOIN dup ON w.gram_h = dup.gram_h
+               GROUP BY w.doc_id)
+    SELECT doc_id, n_windows, n_dup_windows,
+           round(n_dup_windows::DOUBLE / n_windows, 4) AS dup_frac,
+           (round(n_dup_windows::DOUBLE / n_windows, 4)
+              >= {DUP_SPAN_HEAVY}) AS is_dup_heavy
+    FROM counts
+    """,
+)
+def dup_span_detect(spark, sf_dir):
+    """Intra-corpus exact-substring duplication at K-token-window
+    granularity (Lee et al. 2022 ExactSubstr, distributed form): hash
+    every stride-1 K-gram window, find windows present in >=2 distinct
+    docs, and report each doc's duplicated-window fraction. Alignment-
+    robust where the fixed-block variant is not: a one-token insertion
+    in a near-dup still shares almost every window.
+
+    Scale shape (the suffix-array alternative is single-node): the
+    window explode is linear in corpus TOKENS (~n_tokens rows/doc);
+    the dup-gram set comes from a two-phase hash agg on gram_h
+    (map-side combinable, distinct-rewritten); the flag-back is a
+    shuffle equi-join on gram_h where both sides are data-sized —
+    never broadcast, never quadratic. At 100 TB this is the same plan
+    with more partitions. Docs shorter than K yield zero windows and
+    drop out (mirrored in the oracle: empty unnest produces no rows).
+
+    Reference analog: none — the reference crawls; this is the
+    LLM-curation extension (SURVEY.md §2 pipeline ops)."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    # the window explode is the dominant cost; materialize it once so
+    # the dup-gram agg and the flag-back join share one corpus scan
+    # (the repo's shared-subtree pattern, cf. minhash_lsh_pairs)
+    w = (
+        t.select(
+            "doc_id",
+            F.explode(F.expr(_SPAN_GRAMS_SPARK)).alias("gram"),
+        )
+        .select("doc_id", _md5_int(F.col("gram")).alias("gram_h"))
+        .localCheckpoint(eager=False)
+    )
+    # two-phase: distinct (gram_h, doc_id) first so a doc repeating its
+    # own gram doesn't count as cross-doc duplication
+    dup = (
+        w.select("doc_id", "gram_h")
+        .distinct()
+        .groupBy("gram_h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_h")
+    )
+    counts = (
+        w.join(dup.withColumn("is_dup", F.lit(1)), "gram_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+    )
+    frac = F.round(
+        F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4
+    )
+    return counts.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        frac.alias("dup_frac"),
+        (frac >= DUP_SPAN_HEAVY).alias("is_dup_heavy"),
+    )
+
+
+# Zipf rank-frequency slope: a healthy natural-language corpus has
+# slope ~ -1 on the log-log rank/frequency curve; template spam and
+# boilerplate-heavy crawls flatten or steepen it. Standard corpus-health
+# diagnostic (Zipf 1949; used as a crawl-quality signal).
+ZIPF_TOP_RANKS = 100  # fit over the head of the distribution
+
+
+@register(
+    "token_zipf_slope",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS_RAW_SQL}) AS tok
+                 FROM documents),
+    freq AS (SELECT lang, tok, count(*) AS f
+             FROM tok GROUP BY lang, tok),
+    ranked AS (SELECT lang, f,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY f DESC, tok) AS r,
+                      count(*) OVER (PARTITION BY lang) AS vocab_n
+               FROM freq)
+    SELECT lang, vocab_n::BIGINT AS vocab_n,
+           count(*)::BIGINT AS n_ranked,
+           round(regr_slope(ln(f::DOUBLE), ln(r::DOUBLE)), 4)
+             AS zipf_slope
+    FROM ranked WHERE r <= {ZIPF_TOP_RANKS}
+    GROUP BY lang, vocab_n
+    """,
+)
+def token_zipf_slope(spark, sf_dir):
+    """Per-language Zipf slope: OLS slope of ln(frequency) on ln(rank)
+    over the top-{ZIPF_TOP_RANKS} token ranks. Corpus-health
+    diagnostic — natural text sits near -1; template/boilerplate
+    corpora deviate.
+
+    Scale shape: one explode + two-phase hash agg on (lang, tok) —
+    the only corpus-sized work, map-side combinable. The rank window
+    partitions by lang over the VOCABULARY (not the corpus), and the
+    regression runs over <= {ZIPF_TOP_RANKS} rows/lang via Spark's
+    built-in regr_slope aggregate (JVM, mergeable partials). Ties in
+    frequency are broken by token text so both engines fit the same
+    (f, r) point set exactly."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    freq = tok.groupBy("lang", "tok").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "tok")
+    ranked = freq.select(
+        "lang",
+        "f",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("vocab_n"),
+    ).filter(F.col("r") <= ZIPF_TOP_RANKS)
+    return ranked.groupBy("lang", "vocab_n").agg(
+        F.count("*").alias("n_ranked"),
+        F.round(
+            F.expr("regr_slope(ln(cast(f as double)), ln(cast(r as double)))"), 4
+        ).alias("zipf_slope"),
+    ).select("lang", "vocab_n", "n_ranked", "zipf_slope")
+
+
+# Partition-skew diagnostics: the north rule requires "partitioning /
+# shuffle / skew handled explicitly" — this op is the MEASUREMENT side
+# of that contract: given a candidate shuffle key, report the hot keys,
+# their share of the table, and the salt factor the engine's adaptive
+# census salting (frontier.py) would assign. Host key is synthesized
+# with a deliberately non-uniform quadratic map so the diagnostic has
+# real skew to find at every scale factor.
+SKEW_TOP_HOSTS = 10
+
+
+@register(
+    "skew_diagnostics",
+    f"""
+    WITH fr AS (SELECT 'h' || (((o_custkey % 20) * (o_custkey % 20)) // 20)::VARCHAR
+                  AS host
+                FROM orders),
+    per_host AS (SELECT host, count(*) AS cnt FROM fr GROUP BY host),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS n_hosts,
+                   max(cnt) AS max_cnt FROM per_host)
+    SELECT host, cnt,
+           round(cnt::DOUBLE / total, 4) AS share,
+           round(cnt::DOUBLE * n_hosts / total, 4) AS skew_x,
+           ceil(cnt::DOUBLE * n_hosts / total)::BIGINT AS salt_factor,
+           n_hosts::BIGINT AS n_hosts,
+           round(max_cnt::DOUBLE * n_hosts / total, 4) AS table_skew_x
+    FROM per_host, tot
+    ORDER BY cnt DESC, host LIMIT {SKEW_TOP_HOSTS}
+    """,
+)
+def skew_diagnostics(spark, sf_dir):
+    """Shuffle-key skew report for a candidate partition key (per-host
+    frontier counts, the politeness-window key): top hot keys with
+    count, share of table, per-key skew multiple vs the uniform mean,
+    and the integer salt factor a salted-window plan would assign
+    (the same cnt/mean census arithmetic frontier.py's adaptive
+    salting uses, frontier.py:186-197). `table_skew_x` (max/mean) on
+    every row gives the single number that decides salted vs plain
+    window at plan time.
+
+    Scale shape: ONE two-phase hash agg on host (map-side combinable)
+    produces a key-cardinality-sized table; totals are a single-row
+    aggregate broadcast back (1-row broadcast NL join, the repo's
+    standard totals pattern); final top-k is TakeOrderedAndProject.
+    The corpus is scanned once; nothing corpus-sized is sorted,
+    windowed, or joined. Host synthesis uses integer-exact quadratic
+    bunching ((k%20)^2 // 20) so both engines see identical skew."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("h"),
+        (((F.col("o_custkey") % 20) * (F.col("o_custkey") % 20)) / 20)
+        .cast("long")
+        .cast("string"),
+    )
+    # per_host is key-cardinality-sized; materialize it so the totals
+    # aggregate and the join-back don't each re-scan the orders table
+    per_host = (
+        o.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per_host.agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_hosts"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    j = per_host.join(F.broadcast(tot))
+    skew_x = F.col("cnt").cast("double") * F.col("n_hosts") / F.col("total")
+    return (
+        j.select(
+            "host",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 4).alias("share"),
+            F.round(skew_x, 4).alias("skew_x"),
+            F.ceil(skew_x).cast("long").alias("salt_factor"),
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_hosts") / F.col("total"), 4
+            ).alias("table_skew_x"),
+        )
+        .orderBy(F.desc("cnt"), "host")
+        .limit(SKEW_TOP_HOSTS)
+    )

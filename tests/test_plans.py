@@ -141,3 +141,32 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     plan = _plan(spark, "semdedup_prune")
     assert "BroadcastNestedLoop" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_single_explode(spark):
+    """The window table is localCheckpointed: the documents parquet is
+    scanned (and the K-gram array built) exactly once; the dup-gram agg
+    and the flag-back join both read the materialized table. No
+    cartesian anywhere."""
+    plan = _plan(spark, "dup_span_detect")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_slope_vocab_window_only(spark):
+    """One corpus-sized agg; rank window + regression never exchange
+    more than twice; no joins at all."""
+    plan = _plan(spark, "token_zipf_slope")
+    assert _shuffles(plan) <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_skew_diag_single_scan_topk(spark):
+    """per_host is materialized (orders scanned once), totals ride a
+    broadcast, final top-k is TakeOrderedAndProject — the hosts table
+    is never globally sorted."""
+    plan = _plan(spark, "skew_diagnostics")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
