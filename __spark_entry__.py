@@ -86,6 +86,8 @@ _PRIORITY = [
     "dup_span_detect",
     "token_zipf_slope",
     "skew_diagnostics",
+    "ann_pq_topk",
+    "frontier_shard_plan",
 ]
 
 

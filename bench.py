@@ -73,6 +73,13 @@ HEADLINE = [
     "semdedup_prune",
     "ccnet_quality_buckets",
     "clip_hard_negatives",
+    # round 3 batch IV: substring dedup, corpus health, skew + packing,
+    # PQ ANN (additive vs BENCH_r02)
+    "dup_span_detect",
+    "token_zipf_slope",
+    "skew_diagnostics",
+    "frontier_shard_plan",
+    "ann_pq_topk",
 ]
 
 
@@ -151,6 +158,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # PQ recall/candidate tradeoff: ADC top-PQ_RERANK candidate recall
+    # vs exact cosine top-5 over 8 queries. Chance recall == scanned
+    # fraction; the lift above it is ADC's ranking signal (the
+    # clustered-corpus mechanism test pins >=0.9 recall at ~7% scanned,
+    # tests/test_round3d_ops.py).
+    from crunchy_spark.queries import PQ_RERANK, _pq_recall_stats
+
+    pq_stats = _pq_recall_stats(e, PQ_RERANK, qids)
+    print(
+        f"# ann_pq rerank={PQ_RERANK}: scanned fraction "
+        f"{pq_stats['scanned_fraction']}, mean recall@5 vs exact = "
+        f"{pq_stats['recall_at_5']} over {len(qids)} queries",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_query_wall_seconds",
@@ -161,6 +183,7 @@ def main() -> None:
         "emb_lsh_candidate_fraction": cand_frac,
         "fuzzy_capped_candidate_fraction": fuzzy_frac,
         "ivf_nprobe_tradeoff": ivf_stats,
+        "pq_rerank_tradeoff": pq_stats,
     }
     # surface the authoritative BASELINE metric (frontier URLs
     # scheduled+deduped/sec + N->4N efficiency) from the latest

@@ -5361,3 +5361,358 @@ def skew_diagnostics(spark, sf_dir):
         .orderBy(F.desc("cnt"), "host")
         .limit(SKEW_TOP_HOSTS)
     )
+
+
+# ===========================================================================
+# I. Round-3c additions: product-quantization ANN and frontier shard
+# planning (the packing complement of skew_diagnostics)
+# ===========================================================================
+
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split the 64-dim embedding into PQ_M=8
+# subspaces of 8 dims; each subspace has PQ_K=16 codebook entries, so a
+# vector compresses to 8 x 4 bits = ONE int64 code. Codebooks here are
+# fixed, seeded, 4-sparse +/-1 directions shared verbatim by Spark and
+# the DuckDB oracle (same discipline as _ivf_spec; at scale codebooks
+# come from per-subspace sampled k-means, broadcast the same way).
+# Because every codebook entry has constant norm (4 nonzero +/-1 =>
+# ||c||^2 = 4), argmax inner product == argmin L2, i.e. this IS the
+# standard PQ encoder for these codebooks.
+PQ_M = 8          # subspaces
+PQ_SUBDIM = 8     # dims per subspace (8 x 8 = 64)
+PQ_K = 16         # codebook entries per subspace (4 bits)
+PQ_NNZ = 4        # nonzeros per codebook direction
+PQ_RERANK = 32    # ADC candidates exact-cosine re-ranked
+
+
+def _pq_spec(seed: int = 23):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    spec = []  # spec[m][k] = [(global_dim, sign), ...]
+    for m in range(PQ_M):
+        base = m * PQ_SUBDIM
+        spec.append(
+            [
+                list(
+                    zip(
+                        (base + rng.choice(PQ_SUBDIM, size=PQ_NNZ, replace=False)).tolist(),
+                        rng.choice([-1.0, 1.0], size=PQ_NNZ).tolist(),
+                    )
+                )
+                for _ in range(PQ_K)
+            ]
+        )
+    return spec
+
+
+_PQ_SPEC = _pq_spec()
+
+
+def _pq_dot_col(entry, col: str):
+    t = None
+    for d, s in entry:
+        term = F.lit(s) * F.element_at(col, d + 1)
+        t = term if t is None else t + term
+    return t
+
+
+def _pq_dot_sql(entry, col: str = "emb") -> str:
+    return " + ".join(f"({s:+.1f} * {col}[{d + 1}])" for d, s in entry)
+
+
+def _pq_code_col(col: str = "emb"):
+    """Packed int64 PQ code: subspace m contributes its argmax codebook
+    index (0..15) shifted into bits [4m, 4m+4)."""
+    packed = None
+    for m in range(PQ_M):
+        dots = F.array(*[_pq_dot_col(e, col) for e in _PQ_SPEC[m]])
+        code_m = (F.array_position(dots, F.array_max(dots)) - 1).cast("long")
+        part = code_m * F.lit(1 << (4 * m)).cast("long")
+        packed = part if packed is None else packed + part
+    return packed
+
+
+def _pq_code_sql(col: str = "emb") -> str:
+    parts = []
+    for m in range(PQ_M):
+        dots = "[" + ", ".join(_pq_dot_sql(e, col) for e in _PQ_SPEC[m]) + "]"
+        parts.append(
+            f"((list_position({dots}, list_max({dots})) - 1)::BIGINT * {1 << (4 * m)})"
+        )
+    return " + ".join(parts)
+
+
+def _pq_dtable_cols(col: str = "qe"):
+    """128 ADC lookup entries in m-major order: dtable[m*16 + k] =
+    dot(query, codebook[m][k]) over the FULL vector (codebook entries
+    are zero outside their subspace, so global dots == subspace dots)."""
+    return [_pq_dot_col(e, col) for m in range(PQ_M) for e in _PQ_SPEC[m]]
+
+
+def _pq_dtable_sql(col: str = "qe") -> str:
+    return (
+        "["
+        + ", ".join(_pq_dot_sql(e, col) for m in range(PQ_M) for e in _PQ_SPEC[m])
+        + "]"
+    )
+
+
+def _pq_adc_col(dtable: str = "dtable", code: str = "code"):
+    t = None
+    for m in range(PQ_M):
+        idx = (
+            F.lit(m * PQ_K)
+            + (F.shiftright(F.col(code), 4 * m).bitwiseAND(F.lit(15))).cast("int")
+            + F.lit(1)
+        )
+        term = F.element_at(dtable, idx)
+        t = term if t is None else t + term
+    return t
+
+
+def _pq_adc_sql(dtable: str = "dtable", code: str = "code") -> str:
+    return " + ".join(
+        f"{dtable}[{m * PQ_K} + ((({code} >> {4 * m}) & 15) + 1)]"
+        for m in range(PQ_M)
+    )
+
+
+def _pq_recall_stats(
+    e: DataFrame, rerank: int, query_ids: list[int]
+) -> dict[str, float]:
+    """Measured PQ quality on corpus ``e``: mean recall@5 (vs exact
+    cosine top-5) of the ADC top-``rerank`` candidate set over
+    ``query_ids``, plus the fixed scanned fraction rerank/(n-1).
+
+    All Spark-side, the _ivf_recall_stats twin: corpus codes are the
+    packed int64s; each query row carries its own 128-entry dtable; the
+    candidate set is a per-query ADC rank window. Chance recall equals
+    the scanned fraction, so recall >> scanned fraction is the evidence
+    that ADC ranking carries signal (pinned on a planted-cluster corpus
+    in tests/test_round3d_ops.py; the bench corpus is near-orthogonal
+    random where every quantizer tracks chance)."""
+    emb = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    codes = emb.select("vec_id", _pq_code_col("emb").alias("code"))
+    qs = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        F.array(*_pq_dtable_cols("emb")).alias("dtable"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    # exact ground truth: broadcast the |query_ids| query vectors
+    pairs = emb.join(F.broadcast(qs.select("qid", "qe")), F.col("vec_id") != F.col("qid"))
+    sim = dot(F.col("emb"), F.col("qe")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    w5 = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    top5 = (
+        pairs.select("qid", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w5))
+        .filter(F.col("rnk") <= 5)
+    )
+    # ADC candidates: per-query rank window over the codes table
+    adc = codes.join(
+        F.broadcast(qs.select("qid", "dtable")), F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", _pq_adc_col().alias("adc"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("adc"), "vec_id")
+    cand = (
+        adc.withColumn("arnk", F.row_number().over(wr))
+        .filter(F.col("arnk") <= rerank)
+        .select(F.col("qid").alias("cqid"), F.col("vec_id").alias("cvid"))
+    )
+    hits = top5.join(
+        cand,
+        (F.col("qid") == F.col("cqid")) & (F.col("vec_id") == F.col("cvid")),
+        "left_semi",
+    ).count()
+    n = emb.count()
+    nq = len(query_ids)
+    return {
+        "scanned_fraction": round(rerank / max(n - 1, 1), 4),
+        "recall_at_5": round(hits / (5 * nq), 3),
+    }
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH base AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS emb
+                  FROM embeddings),
+    codes AS (SELECT vec_id, {_pq_code_sql()} AS code
+              FROM base WHERE vec_id <> 0),
+    q AS (SELECT emb AS qe, {_pq_dtable_sql('emb')} AS dtable
+          FROM base WHERE vec_id = 0),
+    adc AS (SELECT vec_id, {_pq_adc_sql()} AS adc
+            FROM codes, q
+            ORDER BY adc DESC, vec_id LIMIT {PQ_RERANK}),
+    s AS (SELECT adc.vec_id,
+                 round(list_dot_product(emb, qe)
+                   / (sqrt(list_dot_product(emb, emb))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+          FROM adc JOIN base ON adc.vec_id = base.vec_id, q)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): encode every
+    corpus vector as ONE packed int64 (8 subspaces x 4-bit codebook
+    index), score candidates by asymmetric distance computation (ADC:
+    the query precomputes a 128-entry dot table, a candidate's score is
+    8 table lookups summed), exact-cosine re-rank the top PQ_RERANK=32.
+    Completes the repo's ANN family: exact (ann_cosine_topk), LSH
+    bucket (ann_lsh_bucket_topk), IVF (ann_ivf_topk), PQ (here).
+
+    Scale shape — the reason PQ exists: the scored table is
+    (vec_id, code int64) = 12 bytes/vector vs 256 bytes raw, so a
+    10^10-vector corpus's scan drops ~20x and never shuffles; the
+    dtable is a 1-row broadcast (the repo's query-vector pattern);
+    ADC is 8 array lookups + a left-assoc sum in whole-stage codegen;
+    top-PQ_RERANK is TakeOrderedAndProject; only the 32 survivors
+    re-join the raw embeddings (broadcast ids, data-sized probe).
+    Codebook entries have constant norm (4 nonzero +/-1), so the
+    argmax-dot encoder IS argmin-L2 — standard PQ, deterministic.
+    Both engines share _PQ_SPEC verbatim: identical left-assoc double
+    sums, argmax ties to first index (array_position/list_position),
+    ADC ties broken by vec_id.
+
+    Reference analog: none (crawler); LLM-pipeline similarity-search
+    extension (SURVEY.md §2 pipeline ops)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    # codes: ids + one packed int64 — the ONLY corpus-sized table ADC
+    # touches. Separate select keeps the 128-dot argmax Project its own
+    # codegen stage (same Janino-cap discipline as embedding_neardup).
+    codes = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", _pq_code_col("emb").alias("code")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qe"), F.array(*_pq_dtable_cols("emb")).alias("dtable")
+    )
+    adc = (
+        codes.join(F.broadcast(q.select("dtable")))
+        .select("vec_id", _pq_adc_col().alias("adc"))
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(PQ_RERANK)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cand = e.join(F.broadcast(adc.select("vec_id")), "vec_id").join(
+        F.broadcast(q.select("qe"))
+    )
+    sim = F.round(
+        dot(F.col("emb"), F.col("qe"))
+        / (F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+# Frontier shard planning: the PACKING side of the skew contract
+# (skew_diagnostics is the measurement side). Given per-host pending
+# counts, assign hosts to a fixed number of scheduler shards by
+# serpentine (snake) order — sort hosts by load descending, deal them
+# boustrophedon across shards — the classic deterministic balanced-
+# assignment heuristic (within max-item of optimal for this shape).
+SHARD_N = 8
+
+
+@register(
+    "frontier_shard_plan",
+    f"""
+    WITH fr AS (SELECT 'h' || ((o_custkey * o_custkey) % 137)::VARCHAR AS host
+                FROM orders),
+    per_host AS (SELECT host, count(*) AS cnt FROM fr GROUP BY host),
+    ranked AS (SELECT host, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, host) - 1 AS rn
+               FROM per_host),
+    assigned AS (SELECT host, cnt,
+                        CASE WHEN (rn // {SHARD_N}) % 2 = 0
+                             THEN rn % {SHARD_N}
+                             ELSE {SHARD_N - 1} - (rn % {SHARD_N}) END AS shard
+                 FROM ranked),
+    shards AS (SELECT shard, count(*) AS n_hosts, sum(cnt) AS pending
+               FROM assigned GROUP BY shard),
+    tot AS (SELECT sum(pending) AS total FROM shards)
+    SELECT shard::BIGINT AS shard, n_hosts::BIGINT AS n_hosts,
+           pending::BIGINT AS pending,
+           round(pending::DOUBLE / total, 4) AS share,
+           round(pending::DOUBLE * {SHARD_N} / total, 4) AS balance_x
+    FROM shards, tot ORDER BY shard
+    """,
+)
+def frontier_shard_plan(spark, sf_dir):
+    """Frontier shard plan: serpentine bin-packing of hosts onto
+    SHARD_N=8 scheduler shards. Hosts sort by pending count descending
+    (host tiebreak), then deal boustrophedon (0..7, 7..0, ...) so each
+    shard gets one host per "round" of the deal alternating from the
+    heavy and light ends — the deterministic, SQL-expressible cousin of
+    greedy LPT packing. Output is the per-shard plan: host count, total
+    pending, share, and balance_x (shard load vs uniform mean; max
+    balance_x near 1.0 = well packed). skew_diagnostics MEASURES hot
+    keys; this op PLANS around them — together they evidence the north
+    rule's "partitioning / shuffle / skew handled explicitly".
+
+    Scale shape: the corpus-sized work is ONE map-side-combinable
+    count per host; everything after runs on the key-cardinality-sized
+    hosts table (the politeness-census argument, frontier.py): the
+    global rank window is over hosts, not URLs, and the final plan is
+    SHARD_N rows joined to a 1-row broadcast total. Host synthesis
+    (quadratic residues mod 137, ~69 distinct, x2-range counts) gives
+    both engines identical non-uniform load to pack.
+
+    Reference analog: RabbitMQ consumers shard by QUEUE (connection.py
+    24-41); per-host shards are what a frontier at 10^10 URLs needs."""
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("h"), ((F.col("o_custkey") * F.col("o_custkey")) % 137).cast("string")
+    )
+    # per_host is key-cardinality-sized; materialize it so the shard
+    # plan and the 1-row total don't each re-scan orders (the repo's
+    # totals pattern, cf. skew_diagnostics)
+    per_host = (
+        o.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("cnt"), "host")) - 1
+    block_even = ((rn / SHARD_N).cast("long") % 2) == 0
+    shard = F.when(block_even, rn % SHARD_N).otherwise(
+        F.lit(SHARD_N - 1) - (rn % SHARD_N)
+    )
+    shards = (
+        per_host.select("host", "cnt", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_hosts"), F.sum("cnt").alias("pending"))
+    )
+    tot = shards.agg(F.sum("pending").alias("total"))
+    return (
+        shards.join(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.col("pending").cast("long").alias("pending"),
+            F.round(F.col("pending").cast("double") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.col("pending").cast("double") * SHARD_N / F.col("total"), 4
+            ).alias("balance_x"),
+        )
+        .orderBy("shard")
+    )

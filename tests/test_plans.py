@@ -170,3 +170,25 @@ def test_skew_diag_single_scan_topk(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_zero_shuffle_adc_topk(spark):
+    """PQ is shuffle-free end-to-end: the dtable is a 1-row broadcast,
+    ADC top-PQ_RERANK is TakeOrderedAndProject, and the re-rank joins
+    the 32 survivor ids back by broadcast. The vec_id<>0 filter is
+    pushed to the parquet scan."""
+    plan = _plan(spark, "ann_pq_topk")
+    assert _shuffles(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Not(EqualTo(vec_id,0)" in plan, plan
+
+
+def test_shard_plan_single_scan(spark):
+    """per_host is materialized (orders scanned once); the rank window
+    runs over the key-cardinality hosts table; totals ride a 1-row
+    broadcast."""
+    plan = _plan(spark, "frontier_shard_plan")
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

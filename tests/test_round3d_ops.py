@@ -1,0 +1,146 @@
+"""Behavior tests for the round-3d batch (beyond driver oracle
+equality): the PQ encoder/ADC/re-rank pipeline is mirrored exactly in
+plain Python (left-assoc float64, first-max argmax), and the
+serpentine shard plan matches a ground-truth snake deal with all
+pending mass conserved."""
+
+from pyspark.sql import functions as F
+
+from crunchy_spark.queries import (
+    PQ_K,
+    PQ_M,
+    PQ_RERANK,
+    SHARD_N,
+    _PQ_SPEC,
+    ann_pq_topk,
+    frontier_shard_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dot(entry, emb):
+    # left-assoc accumulation, mirroring the generated Spark/SQL exprs
+    t = 0.0
+    first = True
+    for d, s in entry:
+        term = s * emb[d]
+        t = term if first else t + term
+        first = False
+    return t
+
+
+def _pq_code(emb):
+    code = 0
+    for m in range(PQ_M):
+        dots = [_dot(e, emb) for e in _PQ_SPEC[m]]
+        k = dots.index(max(dots))  # first max, like array_position
+        code += k << (4 * m)
+    return code
+
+
+def test_pq_matches_python_ground_truth(spark):
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    embs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    qe = embs[0]
+    dtable = [_dot(e, qe) for m in range(PQ_M) for e in _PQ_SPEC[m]]
+
+    def adc(code):
+        t = 0.0
+        for m in range(PQ_M):
+            term = dtable[m * PQ_K + ((code >> (4 * m)) & 15)]
+            t = term if m == 0 else t + term
+        return t
+
+    codes = {v: _pq_code(e) for v, e in embs.items() if v != 0}
+    # packed codes occupy exactly PQ_M x 4 bits
+    assert all(0 <= c < (1 << (4 * PQ_M)) for c in codes.values())
+    cand = sorted(codes, key=lambda v: (-adc(codes[v]), v))[:PQ_RERANK]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 4)
+
+    truth = sorted(((v, cos(embs[v], qe)) for v in cand), key=lambda t: (-t[1], t[0]))[:5]
+    got = [(r.vec_id, r.cos_sim) for r in ann_pq_topk(spark, SF).collect()]
+    assert got == truth, (got, truth)
+
+
+def test_pq_adc_actually_prunes(spark):
+    """The re-rank stage sees PQ_RERANK candidates, a fixed fraction of
+    the corpus — the whole point of the codes table."""
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert PQ_RERANK < n - 1
+    got = ann_pq_topk(spark, SF)
+    assert got.count() == 5
+
+
+def test_shard_plan_matches_snake_ground_truth(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    from collections import Counter
+
+    cnt = Counter(f"h{(r.o_custkey * r.o_custkey) % 137}" for r in o)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    shards = {}
+    for rn, (h, c) in enumerate(ranked):
+        block, pos = divmod(rn, SHARD_N)
+        s = pos if block % 2 == 0 else SHARD_N - 1 - pos
+        shards.setdefault(s, [0, 0])
+        shards[s][0] += 1
+        shards[s][1] += c
+    total = sum(cnt.values())
+    truth = [
+        (
+            s,
+            shards[s][0],
+            shards[s][1],
+            round(shards[s][1] / total, 4),
+            round(shards[s][1] * SHARD_N / total, 4),
+        )
+        for s in sorted(shards)
+    ]
+    got = [tuple(r) for r in frontier_shard_plan(spark, SF).collect()]
+    assert got == truth, (got, truth)
+    # mass conservation + the packing is actually balanced
+    assert sum(r[2] for r in got) == total
+    assert max(r[4] for r in got) < 1.5, got
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """ADC ranking quality where it's measurable: on a planted-cluster
+    corpus (cos >= ~0.9 within), the PQ top-16 candidate set contains
+    ALL exact top-5 neighbors at ~7% of the corpus scanned — chance
+    recall equals scanned fraction, so this is a >10x routing lift.
+    (On the bench corpus's near-orthogonal random vectors PQ still
+    measures ~7x chance; bench.py logs that per run.)"""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from crunchy_spark.queries import _pq_recall_stats
+
+    n_clusters, per_cluster, dim = 20, 12, 64
+    rng = np.random.RandomState(3)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.08 * rng.randn(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    e = spark.createDataFrame(rows, schema)
+    qids = [c * per_cluster for c in range(n_clusters)]
+    st = _pq_recall_stats(e, 16, qids)
+    assert st["recall_at_5"] >= 0.9, st
+    assert st["recall_at_5"] >= 4 * st["scanned_fraction"], st
+    # more rerank budget never hurts (the rerank knob is monotone)
+    st2 = _pq_recall_stats(e, 64, qids)
+    assert st2["recall_at_5"] >= st["recall_at_5"], (st, st2)
