@@ -1207,14 +1207,18 @@ _IVF_SPEC = _ivf_spec()
 
 
 def _ivf_dot_cols(col: str = "embedding"):
-    outs = []
-    for spec in _IVF_SPEC:
-        t = None
-        for d, s in spec:
-            term = F.lit(s) * F.element_at(col, d + 1).cast("double")
-            t = term if t is None else t + term
-        outs.append(t)
-    return outs
+    # Spark-SQL strings parsed JVM-side (one F.expr per cell) — the
+    # Column-object construction alternative costs ~0.5s of py4j round
+    # trips per call site; same left-assoc arithmetic either way.
+    return [
+        F.expr(
+            " + ".join(
+                f"({s:+.1f}D * CAST(element_at({col}, {d + 1}) AS DOUBLE))"
+                for d, s in spec
+            )
+        )
+        for spec in _IVF_SPEC
+    ]
 
 
 def _ivf_dots_sql() -> str:
@@ -2249,18 +2253,22 @@ _HP_SPEC = _hyperplane_spec()
 
 
 def _hp_band_cols():
-    """12 band-value Columns (each packs 8 sign bits into an int)."""
+    """12 band-value Columns (each packs EMB_LSH_BITS sign bits into an
+    int). Built as Spark-SQL strings parsed JVM-side in 12 F.expr
+    calls: constructing the 108 4-term projections as Column objects
+    costs ~5s of driver-side py4j round trips (measured); the strings
+    parse in ~0.1s. Arithmetic is unchanged — same left-assoc order,
+    same double casts — so band values are bit-identical."""
     bands = []
     for b in range(EMB_LSH_BANDS):
-        val = None
+        bits = []
         for j in range(EMB_LSH_BITS):
-            proj = None
-            for d, s in _HP_SPEC[EMB_LSH_BITS * b + j]:
-                t = F.lit(s) * F.element_at("embedding", d + 1).cast("double")
-                proj = t if proj is None else proj + t
-            bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            val = bit if val is None else val + bit
-        bands.append(val)
+            terms = " + ".join(
+                f"({s:+.1f}D * CAST(element_at(embedding, {d + 1}) AS DOUBLE))"
+                for d, s in _HP_SPEC[EMB_LSH_BITS * b + j]
+            )
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+        bands.append(F.expr(" + ".join(bits)))
     return bands
 
 
@@ -2383,10 +2391,9 @@ def embedding_neardup_cosine(spark, sf_dir):
     # codegen, unlike the interpreted higher-order aggregate() fold —
     # this is the O(candidates) inner loop, so codegen matters. Left-
     # assoc addition matches the oracle's list_dot_product fold order.
-    terms = [F.element_at("ea", i + 1) * F.element_at("eb", i + 1) for i in range(64)]
-    dot_unrolled = terms[0]
-    for t in terms[1:]:
-        dot_unrolled = dot_unrolled + t
+    dot_unrolled = F.expr(
+        " + ".join(f"(element_at(ea, {i + 1}) * element_at(eb, {i + 1}))" for i in range(64))
+    )
     return (
         pairs.withColumn("cos_sim", F.round(dot_unrolled, 4))
         .filter(F.col("cos_sim") >= 0.35)
@@ -5409,28 +5416,40 @@ def _pq_spec(seed: int = 23):
 _PQ_SPEC = _pq_spec()
 
 
-def _pq_dot_col(entry, col: str):
-    t = None
-    for d, s in entry:
-        term = F.lit(s) * F.element_at(col, d + 1)
-        t = term if t is None else t + term
-    return t
+def _pq_dot_spark(entry, col: str) -> str:
+    # Spark-SQL string, parsed JVM-side in ONE py4j call per consumer:
+    # building these 128 4-term dots as Column objects costs ~5s of
+    # driver-side py4j round trips (measured); F.expr costs ~0.1s.
+    return " + ".join(
+        f"({s:+.1f}D * element_at({col}, {d + 1}))" for d, s in entry
+    )
 
 
 def _pq_dot_sql(entry, col: str = "emb") -> str:
     return " + ".join(f"({s:+.1f} * {col}[{d + 1}])" for d, s in entry)
 
 
-def _pq_code_col(col: str = "emb"):
-    """Packed int64 PQ code: subspace m contributes its argmax codebook
-    index (0..15) shifted into bits [4m, 4m+4)."""
-    packed = None
-    for m in range(PQ_M):
-        dots = F.array(*[_pq_dot_col(e, col) for e in _PQ_SPEC[m]])
-        code_m = (F.array_position(dots, F.array_max(dots)) - 1).cast("long")
-        part = code_m * F.lit(1 << (4 * m)).cast("long")
-        packed = part if packed is None else packed + part
-    return packed
+def _pq_codes(df: DataFrame, col: str = "emb") -> DataFrame:
+    """(vec_id, code): packed int64 PQ code — subspace m contributes
+    its argmax codebook index (0..15) shifted into bits [4m, 4m+4).
+    Two Projects: the 8 16-dot arrays materialize once, then the
+    argmax/pack references the ARRAYS — inlining them into
+    array_position+array_max would duplicate every dot expression in
+    the generated code and double the Janino compile time (the
+    dominant cost at small scale; measured ~2x)."""
+    dots = [
+        F.expr(
+            "array(" + ", ".join(_pq_dot_spark(e, col) for e in _PQ_SPEC[m]) + ")"
+        ).alias(f"_d{m}")
+        for m in range(PQ_M)
+    ]
+    packed = F.expr(
+        " + ".join(
+            f"((array_position(_d{m}, array_max(_d{m})) - 1L) * {1 << (4 * m)}L)"
+            for m in range(PQ_M)
+        )
+    )
+    return df.select("vec_id", *dots).select("vec_id", packed.alias("code"))
 
 
 def _pq_code_sql(col: str = "emb") -> str:
@@ -5443,11 +5462,16 @@ def _pq_code_sql(col: str = "emb") -> str:
     return " + ".join(parts)
 
 
-def _pq_dtable_cols(col: str = "qe"):
+def _pq_dtable_col(col: str = "qe"):
     """128 ADC lookup entries in m-major order: dtable[m*16 + k] =
     dot(query, codebook[m][k]) over the FULL vector (codebook entries
-    are zero outside their subspace, so global dots == subspace dots)."""
-    return [_pq_dot_col(e, col) for m in range(PQ_M) for e in _PQ_SPEC[m]]
+    are zero outside their subspace, so global dots == subspace dots).
+    One F.expr array — see _pq_dot_spark on why strings, not Columns."""
+    return F.expr(
+        "array("
+        + ", ".join(_pq_dot_spark(e, col) for m in range(PQ_M) for e in _PQ_SPEC[m])
+        + ")"
+    )
 
 
 def _pq_dtable_sql(col: str = "qe") -> str:
@@ -5459,16 +5483,13 @@ def _pq_dtable_sql(col: str = "qe") -> str:
 
 
 def _pq_adc_col(dtable: str = "dtable", code: str = "code"):
-    t = None
-    for m in range(PQ_M):
-        idx = (
-            F.lit(m * PQ_K)
-            + (F.shiftright(F.col(code), 4 * m).bitwiseAND(F.lit(15))).cast("int")
-            + F.lit(1)
+    return F.expr(
+        " + ".join(
+            f"element_at({dtable}, CAST({m * PQ_K} + "
+            f"((shiftright({code}, {4 * m}) & 15) + 1) AS INT))"
+            for m in range(PQ_M)
         )
-        term = F.element_at(dtable, idx)
-        t = term if t is None else t + term
-    return t
+    )
 
 
 def _pq_adc_sql(dtable: str = "dtable", code: str = "code") -> str:
@@ -5496,11 +5517,11 @@ def _pq_recall_stats(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    codes = emb.select("vec_id", _pq_code_col("emb").alias("code"))
+    codes = _pq_codes(emb)
     qs = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("emb").alias("qe"),
-        F.array(*_pq_dtable_cols("emb")).alias("dtable"),
+        _pq_dtable_col("emb").alias("dtable"),
     )
 
     def dot(a, b):
@@ -5589,13 +5610,11 @@ def ann_pq_topk(spark, sf_dir):
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
     # codes: ids + one packed int64 — the ONLY corpus-sized table ADC
-    # touches. Separate select keeps the 128-dot argmax Project its own
-    # codegen stage (same Janino-cap discipline as embedding_neardup).
-    codes = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", _pq_code_col("emb").alias("code")
-    )
+    # touches. _pq_codes keeps the 128-dot Project its own codegen
+    # stage (same Janino-cap discipline as embedding_neardup).
+    codes = _pq_codes(e.filter(F.col("vec_id") != 0))
     q = e.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("qe"), F.array(*_pq_dtable_cols("emb")).alias("dtable")
+        F.col("emb").alias("qe"), _pq_dtable_col("emb").alias("dtable")
     )
     adc = (
         codes.join(F.broadcast(q.select("dtable")))
