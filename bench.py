@@ -80,6 +80,7 @@ HEADLINE = [
     "skew_diagnostics",
     "frontier_shard_plan",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -5429,8 +5429,8 @@ def _pq_dot_sql(entry, col: str = "emb") -> str:
     return " + ".join(f"({s:+.1f} * {col}[{d + 1}])" for d, s in entry)
 
 
-def _pq_codes(df: DataFrame, col: str = "emb") -> DataFrame:
-    """(vec_id, code): packed int64 PQ code — subspace m contributes
+def _pq_codes(df: DataFrame, col: str = "emb", keep: tuple = ()) -> DataFrame:
+    """(vec_id, *keep, code): packed int64 PQ code — subspace m contributes
     its argmax codebook index (0..15) shifted into bits [4m, 4m+4).
     Two Projects: the 8 16-dot arrays materialize once, then the
     argmax/pack references the ARRAYS — inlining them into
@@ -5449,7 +5449,10 @@ def _pq_codes(df: DataFrame, col: str = "emb") -> DataFrame:
             for m in range(PQ_M)
         )
     )
-    return df.select("vec_id", *dots).select("vec_id", packed.alias("code"))
+    keep = list(keep)
+    return df.select("vec_id", *keep, *dots).select(
+        "vec_id", *keep, packed.alias("code")
+    )
 
 
 def _pq_code_sql(col: str = "emb") -> str:
@@ -5734,4 +5737,88 @@ def frontier_shard_plan(spark, sf_dir):
             ).alias("balance_x"),
         )
         .orderBy("shard")
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH base AS (SELECT vec_id, {_TO_D.format(c='embedding')} AS emb,
+                         {_ivf_dots_sql()} AS dots
+                  FROM embeddings),
+    cells AS (SELECT vec_id, emb,
+                     list_position(dots, list_max(dots)) AS cell
+              FROM base),
+    codes AS (SELECT vec_id, cell, {_pq_code_sql('emb')} AS code
+              FROM cells WHERE vec_id <> 0),
+    q AS (SELECT emb AS qe, dots AS qdots, {_pq_dtable_sql('emb')} AS dtable
+          FROM base WHERE vec_id = 0),
+    qtop AS (SELECT r.i AS qcell
+             FROM q, range(1, {len(_IVF_SPEC) + 1}) r(i)
+             ORDER BY qdots[r.i] DESC, r.i LIMIT {IVF_NPROBE}),
+    adc AS (SELECT vec_id, {_pq_adc_sql()} AS adc
+            FROM codes JOIN qtop ON codes.cell = qtop.qcell, q
+            ORDER BY adc DESC, vec_id LIMIT {PQ_RERANK}),
+    s AS (SELECT adc.vec_id,
+                 round(list_dot_product(emb, qe)
+                   / (sqrt(list_dot_product(emb, emb))
+                      * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+          FROM adc JOIN base ON adc.vec_id = base.vec_id, q)
+    SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ (Jegou et al. 2011, the composition FAISS ships as its
+    default large-scale index): the IVF coarse quantizer routes the
+    query to its IVF_NPROBE best cells, and WITHIN those cells
+    candidates are scored by PQ ADC (8 dtable lookups against the
+    packed int64 code), then the top PQ_RERANK exact-cosine re-rank.
+    Composes the two routes this registry already ships separately
+    (ann_ivf_topk routes, ann_pq_topk compresses) into the index that
+    does both: touch nprobe/16 of the corpus AND scan 12 B/vector.
+
+    Scale shape: the codes table is (vec_id, cell, code) — at 10^10
+    vectors it is written bucketed by cell (the evidenced
+    SelectedBucketsCount story, tests/test_ivf.py), so a query reads
+    nprobe buckets of 12 B/vector rows; the probed-cell list and the
+    128-double dtable are 1-row/2-row broadcasts; ADC is codegen
+    lookups; only PQ_RERANK survivors touch raw embeddings. Both
+    engines share _IVF_SPEC and _PQ_SPEC verbatim — identical argmax,
+    probe order, and left-assoc sums, ties to first index / vec_id.
+
+    Reference analog: none (crawler); LLM-pipeline similarity-search
+    extension (SURVEY.md §2 pipeline ops)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = _ivf_cells(e)
+    codes = _pq_codes(cells.filter(F.col("vec_id") != 0), keep=("cell",))
+    q = cells.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qe"), _pq_dtable_col("emb").alias("dtable")
+    )
+    qcells = _ivf_query_cells(e).select("qcell")
+    adc = (
+        codes.join(F.broadcast(qcells), F.col("cell") == F.col("qcell"))
+        .join(F.broadcast(q.select("dtable")))
+        .select("vec_id", _pq_adc_col().alias("adc"))
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(PQ_RERANK)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cand = (
+        cells.join(F.broadcast(adc.select("vec_id")), "vec_id")
+        .join(F.broadcast(q.select("qe")))
+    )
+    sim = F.round(
+        dot(F.col("emb"), F.col("qe"))
+        / (F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))),
+        4,
+    )
+    return (
+        cand.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
     )

@@ -192,3 +192,13 @@ def test_shard_plan_single_scan(spark):
     assert plan.count("Scan parquet") <= 1, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_zero_shuffle_routed_adc(spark):
+    """IVFPQ composes the IVF route and the PQ codes without adding a
+    shuffle: probed cells and the dtable are broadcasts, ADC top-32 is
+    TakeOrderedAndProject, re-rank joins survivors by broadcast."""
+    plan = _plan(spark, "ann_ivfpq_topk")
+    assert _shuffles(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -144,3 +144,49 @@ def test_pq_recall_on_clustered_corpus(spark):
     # more rerank budget never hurts (the rerank knob is monotone)
     st2 = _pq_recall_stats(e, 64, qids)
     assert st2["recall_at_5"] >= st["recall_at_5"], (st, st2)
+
+
+def test_ivfpq_matches_python_ground_truth(spark):
+    """Full IVFPQ pipeline mirrored in plain Python: IVF cell argmax,
+    probe top-IVF_NPROBE cells, PQ-ADC within them, exact re-rank."""
+    from crunchy_spark.queries import _IVF_SPEC, IVF_NPROBE, ann_ivfpq_topk
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    embs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    qe = embs[0]
+
+    def ivf_dots(emb):
+        return [_dot(spec, emb) for spec in _IVF_SPEC]
+
+    def cell(emb):
+        d = ivf_dots(emb)
+        return d.index(max(d)) + 1  # 1-based, first max
+
+    probed = [
+        i + 1
+        for i in sorted(range(len(_IVF_SPEC)), key=lambda i: (-ivf_dots(qe)[i], i))[
+            :IVF_NPROBE
+        ]
+    ]
+    dtable = [_dot(e, qe) for m in range(PQ_M) for e in _PQ_SPEC[m]]
+
+    def adc(code):
+        t = 0.0
+        for m in range(PQ_M):
+            term = dtable[m * PQ_K + ((code >> (4 * m)) & 15)]
+            t = term if m == 0 else t + term
+        return t
+
+    in_cells = {
+        v: _pq_code(e) for v, e in embs.items() if v != 0 and cell(e) in probed
+    }
+    cand = sorted(in_cells, key=lambda v: (-adc(in_cells[v]), v))[:PQ_RERANK]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 4)
+
+    truth = sorted(((v, cos(embs[v], qe)) for v in cand), key=lambda t: (-t[1], t[0]))[:5]
+    got = [(r.vec_id, r.cos_sim) for r in ann_ivfpq_topk(spark, SF).collect()]
+    assert got == truth, (got, truth)
