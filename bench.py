@@ -81,6 +81,10 @@ HEADLINE = [
     "frontier_shard_plan",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round 3 batch V: tokenizer training, incremental dedup, boilerplate
+    "bpe_merge_topk",
+    "incremental_neardup",
+    "boilerplate_strip",
 ]
 
 

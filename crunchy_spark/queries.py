@@ -5822,3 +5822,287 @@ def ann_ivfpq_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)
     )
+
+
+# ===========================================================================
+# F. Round-3 additions: tokenizer training, incremental dedup, boilerplate
+# ===========================================================================
+BPE_TOPK = 64
+
+
+@register(
+    "bpe_merge_topk",
+    f"""
+    WITH w AS (
+      SELECT word, count(*) AS wf
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE len(word) >= 2
+      GROUP BY word),
+    p AS (
+      SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b,
+             sum(wf)::BIGINT AS pair_count
+      FROM (SELECT word, wf, unnest(range(1, len(word))) AS i FROM w)
+      GROUP BY 1, 2)
+    SELECT sym_a, sym_b, pair_count,
+           row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b) AS merge_rank
+    FROM p ORDER BY merge_rank LIMIT {BPE_TOPK}
+    """,
+)
+def bpe_merge_topk(spark, sf_dir):
+    """Distributed BPE tokenizer-training step: the top-{BPE_TOPK}
+    adjacent-symbol pair counts that pick the first merge of a
+    byte-pair-encoding vocabulary (Sennrich et al. 2016).
+
+    The classic trick that makes BPE distributable is counting pairs on
+    the WORD-FREQUENCY table, not the corpus: one map-side-combinable
+    hash agg collapses 100 TB of text to a vocab-sized (word, wf)
+    table, and the per-position pair explode runs over that — O(vocab x
+    word_len) rows regardless of corpus size. Subsequent merge rounds
+    rewrite only the words containing the merged pair (a filtered
+    delta), so each round stays vocab-sized; this query is one round,
+    the fixpoint loop is driver-side like _connected_components.
+
+    Scale shape: agg -> vocab-sized explode -> agg -> TakeOrdered
+    (never a global sort of all pairs); the row_number window runs
+    over the already-limited {BPE_TOPK} rows. Reference analog: none
+    (crawler); LLM-pipeline extension (SURVEY.md §2 pipeline ops)."""
+    # The local test tables are one parquet row group, so the scan is a
+    # single split and the word explode + partial agg (the heavy stage —
+    # every word, not the distinct set) would run on one core; fan the
+    # rows out first. At 100 TB the scan has thousands of splits and
+    # this round-robin exchange of the SMALL pre-explode rows is noise.
+    w = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = (
+        w.select(
+            "word", "wf", F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i")
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("sym_a"),
+            F.col("word").substr(F.col("i") + F.lit(1), F.lit(1)).alias("sym_b"),
+            "wf",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(BPE_TOPK)
+    wdw = Window.orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+    return top.withColumn("merge_rank", F.row_number().over(wdw).cast("long"))
+
+
+@register(
+    "incremental_neardup",
+    f"""
+    WITH sig AS ({_minhash_select_sql(16)}),
+    bands AS (
+      SELECT doc_id, md5({_B0}) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5({_B1}) AS band FROM sig),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands n JOIN bands o ON n.band = o.band
+      WHERE n.doc_id % 10 = 0
+        AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id)),
+    agreed AS (
+      SELECT c.new_id, c.old_id FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.old_id
+      WHERE ({_SIG_AGREE_SQL}) >= 10),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    ver AS (
+      SELECT new_id, old_id,
+             round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+                   / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jac
+      FROM agreed JOIN toks ta ON ta.doc_id = new_id
+                  JOIN toks tb ON tb.doc_id = old_id
+      WHERE len(list_intersect(ta.toks, tb.toks))::DOUBLE
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.9)
+    SELECT new_id AS doc_id, old_id AS dup_of, jac
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY old_id) AS rn
+          FROM ver)
+    WHERE rn = 1
+    """,
+)
+def incremental_neardup(spark, sf_dir):
+    """Incremental (delta-vs-corpus) near-dup dedup — the PRODUCTION
+    shape of MinHash dedup at 100 TB: today's crawl batch (docs with
+    doc_id % 10 = 0 stand in for the delta) is checked against the
+    already-indexed corpus plus earlier-arrived batch members, and the
+    corpus index is NEVER recomputed. Output: one row per duplicate
+    new doc with its canonical earlier match (min old_id) and verified
+    Jaccard >= 0.9.
+
+    Scale shape: the corpus band index (doc_id, band) is a committed
+    bucketed table amortized across batches — exactly the engine's
+    LSM bloom-segment pattern (bloom.py) applied to near-dup instead
+    of exact-dup; per-batch cost is O(delta bands joined against the
+    index + collisions), and the delta side of the join is
+    broadcast-able when the batch is small. Same 2x8 banding,
+    >= 10/16 signature-agreement prefilter, and exact-Jaccard verify
+    as minhash_lsh_pairs (recall math documented there); the arrival
+    order (corpus before batch, batch by doc_id) is part of the
+    contract and mirrored in the oracle. Reference analog: the
+    dupefilter's incremental seen-check (dupefilter.py:35-44) done
+    for NEAR-dups."""
+    sig = _minhash_sigs(spark, sf_dir, 16).localCheckpoint()
+
+    def band(cols):
+        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+
+    b0 = sig.select("doc_id", band([f"mh{i}" for i in range(8)]).alias("band"))
+    b1 = sig.select("doc_id", band([f"mh{i}" for i in range(8, 16)]).alias("band"))
+    bands = b0.unionByName(b1)
+    n = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    o = bands.alias("o")
+    cand = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (
+                (F.col("o.doc_id") % 10 != 0)
+                | (F.col("o.doc_id") < F.col("n.doc_id"))
+            ),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    cj = cand.join(siga, "new_id").join(sigb, "old_id")
+    agree = None
+    for i in range(16):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    agreed = cj.filter(agree >= 10).select("new_id", "old_id")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _toks_col().alias("toks"))
+        .localCheckpoint()
+    )
+    j = agreed.join(
+        d.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("ta")), "new_id"
+    ).join(d.select(F.col("doc_id").alias("old_id"), F.col("toks").alias("tb")), "old_id")
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    ver = j.withColumn("jac_raw", jac).filter(F.col("jac_raw") >= 0.9)
+    wdw = Window.partitionBy("new_id").orderBy("old_id")
+    return (
+        ver.withColumn("rn", F.row_number().over(wdw))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("dup_of"),
+            F.round("jac_raw", 4).alias("jac"),
+        )
+    )
+
+
+# Deterministic boilerplate augmentation: the synthetic corpus has no
+# page chrome, so both engines wrap every doc in the SAME source-derived
+# lines (' | '-separated) before stripping — a per-source subscribe
+# banner (share 1.0), the content, and a footer that is shared
+# 'copyright <source>' chrome for 2/3 of docs and a unique
+# 'doc <id> footer' otherwise. The op must drop the first and the
+# shared-footer variants and keep content + unique footers.
+_BP_AUG_SQL = (
+    "('subscribe to ' || source || ' newsletter | ' || text || ' | ' ||"
+    " CASE WHEN doc_id % 3 = 0 THEN 'doc ' || doc_id || ' footer'"
+    " ELSE 'copyright ' || source END)"
+)
+
+
+@register(
+    "boilerplate_strip",
+    f"""
+    WITH aug AS (SELECT doc_id, source, {_BP_AUG_SQL} AS t FROM documents),
+    lines AS (
+      SELECT doc_id, source,
+             unnest(string_split(t, ' | ')) AS line,
+             unnest(range(1, len(string_split(t, ' | ')) + 1)) AS i
+      FROM aug),
+    freq AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+             FROM lines GROUP BY 1, 2),
+    srcn AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+    bp AS (SELECT f.source, f.line FROM freq f JOIN srcn s ON f.source = s.source
+           WHERE f.nd::DOUBLE / s.ns >= 0.5),
+    kept AS (SELECT l.doc_id, l.line, l.i FROM lines l
+             ANTI JOIN bp b ON l.source = b.source AND l.line = b.line)
+    SELECT doc_id,
+           string_agg(line, ' | ' ORDER BY i) AS kept_text,
+           count(*) AS n_kept,
+           (3 - count(*))::BIGINT AS n_dropped
+    FROM kept GROUP BY doc_id
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    """Corpus-level boilerplate removal (the CCNet/trafilatura page-
+    chrome step of a crawl->training-data pipeline): hash every line,
+    count the fraction of the host's (source's) docs each line appears
+    in, and strip lines shared by >= 50% of them — subscribe banners
+    and copyright footers vanish, unique content and one-off footers
+    survive, preserved in original order.
+
+    Scale shape: posexplode -> two map-side-combinable hash aggs (per-
+    (source, line) distinct-doc count; per-source doc count) -> the
+    line-frequency table is TINY relative to the corpus (chrome repeats
+    by definition) so the strip join broadcasts per-source boilerplate
+    sets back at scan speed; no window over the corpus, the only
+    per-doc ordering is the in-doc line index inside a hash-partitioned
+    collect. At 100 TB the freq table is computed once per crawl round
+    and reused. Reference analog: none — the reference stores raw
+    scraped HTML text; this is the LLM-pipeline extension the graft
+    calls for (SURVEY.md §2 pipeline ops)."""
+    aug = F.concat(
+        F.lit("subscribe to "),
+        F.col("source"),
+        F.lit(" newsletter | "),
+        F.col("text"),
+        F.lit(" | "),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" footer")),
+        ).otherwise(F.concat(F.lit("copyright "), F.col("source"))),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", aug.alias("t"))
+    lines = d.select(
+        "doc_id", "source", F.posexplode(F.split("t", r" \| ")).alias("i", "line")
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    srcn = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("ns"))
+    )
+    bp = (
+        freq.join(F.broadcast(srcn), "source")
+        .filter(F.col("nd").cast("double") / F.col("ns") >= 0.5)
+        .select("source", "line")
+    )
+    kept = lines.join(F.broadcast(bp), ["source", "line"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "line"))),
+                lambda s: s["line"],
+            ),
+            " | ",
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+        (F.lit(3) - F.count("*")).cast("long").alias("n_dropped"),
+    )

@@ -1,0 +1,84 @@
+"""Semantic checks for the round-3e ops (bpe_merge_topk,
+incremental_neardup, boilerplate_strip) beyond the oracle hash-match
+(tests/test_queries_oracle.py covers oracle parity automatically)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crunchy_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bpe_rows(spark):
+    return QUERIES["bpe_merge_topk"](spark, SF_DIR).collect()
+
+
+def test_bpe_topk_matches_bruteforce(spark, bpe_rows):
+    """The #1 merge candidate must equal a driver-side brute-force count
+    over the same corpus (independent recomputation, not plan parity)."""
+    import collections
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    words = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                words[w] += 1
+    pairs = collections.Counter()
+    for w, wf in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += wf
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [((r.sym_a, r.sym_b), r.pair_count) for r in bpe_rows]
+    assert got == expect[: len(got)]
+    assert [r.merge_rank for r in bpe_rows] == list(range(1, len(bpe_rows) + 1))
+
+
+def test_incremental_neardup_contract(spark):
+    """Every reported dup is a batch doc (doc_id % 10 == 0), its
+    canonical match precedes it in arrival order (corpus doc, or an
+    earlier batch doc), and jac >= 0.9."""
+    rows = QUERIES["incremental_neardup"](spark, SF_DIR).collect()
+    assert rows  # the synthetic corpus is intrinsically near-dup-rich
+    for r in rows:
+        assert r.doc_id % 10 == 0
+        assert r.dup_of % 10 != 0 or r.dup_of < r.doc_id
+        assert r.jac >= 0.9
+    # one canonical match per dup doc
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_boilerplate_strip_drops_chrome_keeps_content(spark):
+    out = QUERIES["boilerplate_strip"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    joined = out.join(docs, "doc_id").collect()
+    assert len(joined) == docs.count()  # no doc loses ALL its lines
+    for r in joined:
+        # the per-source subscribe banner (share 1.0) is always stripped
+        assert "subscribe to" not in r.kept_text
+        # shared copyright footers stripped; unique 'doc N footer' kept
+        if r.doc_id % 3 == 0:
+            assert r.kept_text.endswith(f"doc {r.doc_id} footer")
+            assert r.n_dropped == 1
+        else:
+            assert "copyright" not in r.kept_text
+            assert r.n_dropped == 2
+        # the content line survives verbatim and first
+        assert r.kept_text.startswith(r.text)
+        assert r.n_kept + r.n_dropped == 3
+
+
+def test_incremental_neardup_batch_side_is_filtered(spark):
+    """Scale guard: the candidate join's batch side must carry the
+    doc_id % 10 filter (delta-sized), not the full corpus — i.e. the
+    plan contains a filter on the band table feeding the join."""
+    df = QUERIES["incremental_neardup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "% 10) = 0" in plan.replace("  ", " ")
