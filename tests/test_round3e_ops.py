@@ -82,3 +82,21 @@ def test_incremental_neardup_batch_side_is_filtered(spark):
     df = QUERIES["incremental_neardup"](spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "% 10) = 0" in plan.replace("  ", " ")
+
+
+def test_incremental_consistent_with_global_pairs(spark):
+    """Cross-op invariant: incremental_neardup is exactly the batch
+    projection of minhash_lsh_pairs — a batch doc is flagged iff the
+    global pair stream links it to a corpus doc or an earlier batch
+    doc, and its canonical match is the min such partner."""
+    pairs = QUERIES["minhash_lsh_pairs"](spark, SF_DIR).collect()
+    inc = {
+        r.doc_id: r.dup_of
+        for r in QUERIES["incremental_neardup"](spark, SF_DIR).collect()
+    }
+    expect = {}
+    for p in pairs:
+        for d, o in ((p.a_id, p.b_id), (p.b_id, p.a_id)):
+            if d % 10 == 0 and (o % 10 != 0 or o < d):
+                expect[d] = min(expect.get(d, o), o)
+    assert inc == expect
