@@ -178,6 +178,24 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # incremental_neardup band-join selectivity: collisions as a
+    # fraction of the eligible (batch x predecessors) pair space — the
+    # per-batch-cost-is-O(delta ⋈ index) scale argument
+    from crunchy_spark.queries import _incremental_candidates, _minhash_sigs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_new = docs.filter("doc_id % 10 = 0").count()
+    n_old = n_docs - n_new
+    eligible = n_new * n_old + n_new * (n_new - 1) // 2
+    n_inc_cand = _incremental_candidates(_minhash_sigs(spark, sf_dir, 16)).count()
+    inc_frac = round(n_inc_cand / eligible, 4) if eligible else 0.0
+    print(
+        f"# incremental_neardup band collisions: {n_inc_cand}/{eligible} "
+        f"eligible pairs ({100 * inc_frac:.2f}%)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     result = {
         "metric": "headline_query_wall_seconds",
@@ -187,6 +205,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "emb_lsh_candidate_fraction": cand_frac,
         "fuzzy_capped_candidate_fraction": fuzzy_frac,
+        "incremental_neardup_candidate_fraction": inc_frac,
         "ivf_nprobe_tradeoff": ivf_stats,
         "pq_rerank_tradeoff": pq_stats,
     }

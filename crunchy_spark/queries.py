@@ -5897,6 +5897,33 @@ def bpe_merge_topk(spark, sf_dir):
     return top.withColumn("merge_rank", F.row_number().over(wdw).cast("long"))
 
 
+def _incremental_candidates(sig: DataFrame) -> DataFrame:
+    """(new_id, old_id) band collisions of the batch (doc_id % 10 = 0)
+    against its predecessors — the delta⋈index join whose selectivity
+    bench.py logs as the scale-safety evidence."""
+
+    def band(cols):
+        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+
+    b0 = sig.select("doc_id", band([f"mh{i}" for i in range(8)]).alias("band"))
+    b1 = sig.select("doc_id", band([f"mh{i}" for i in range(8, 16)]).alias("band"))
+    bands = b0.unionByName(b1)
+    n = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
+    o = bands.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (
+                (F.col("o.doc_id") % 10 != 0)
+                | (F.col("o.doc_id") < F.col("n.doc_id"))
+            ),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+
+
 @register(
     "incremental_neardup",
     f"""
@@ -5952,27 +5979,7 @@ def incremental_neardup(spark, sf_dir):
     dupefilter's incremental seen-check (dupefilter.py:35-44) done
     for NEAR-dups."""
     sig = _minhash_sigs(spark, sf_dir, 16).localCheckpoint()
-
-    def band(cols):
-        return F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
-
-    b0 = sig.select("doc_id", band([f"mh{i}" for i in range(8)]).alias("band"))
-    b1 = sig.select("doc_id", band([f"mh{i}" for i in range(8, 16)]).alias("band"))
-    bands = b0.unionByName(b1)
-    n = bands.filter(F.col("doc_id") % 10 == 0).alias("n")
-    o = bands.alias("o")
-    cand = (
-        n.join(
-            o,
-            (F.col("n.band") == F.col("o.band"))
-            & (
-                (F.col("o.doc_id") % 10 != 0)
-                | (F.col("o.doc_id") < F.col("n.doc_id"))
-            ),
-        )
-        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
-        .distinct()
-    )
+    cand = _incremental_candidates(sig)
     siga = sig.select(
         F.col("doc_id").alias("new_id"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
