@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # be 2 rounds old after round 3 — they must head this list next round
 # (every query is also oracle-checked in pytest each run,
 # tests/test_queries_oracle.py, so driver rows are corroboration).
-# ann_ivfpq_topk, bpe_merge_topk, incremental_neardup and
-# boilerplate_strip landed after the cap filled: their round-3 evidence
+# ann_ivfpq_topk, bpe_merge_topk, incremental_neardup,
+# boilerplate_strip and curation_keep_list landed after the cap filled: their round-3 evidence
 # is the pytest oracle at sf0.001 (+sf0.01 spot-checks); head them next
 # round together with the 47 round-2-evidence entries.
 _PRIORITY = [

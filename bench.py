@@ -85,6 +85,7 @@ HEADLINE = [
     "bpe_merge_topk",
     "incremental_neardup",
     "boilerplate_strip",
+    "curation_keep_list",
 ]
 
 

@@ -6113,3 +6113,100 @@ def boilerplate_strip(spark, sf_dir):
         F.count("*").alias("n_kept"),
         (F.lit(3) - F.count("*")).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "curation_keep_list",
+    f"""
+    WITH RECURSIVE
+    fp AS (SELECT doc_id, {_MD5_INT_SQL.format(c='text')} AS content_fp
+           FROM documents),
+    ex AS (SELECT doc_id,
+                  min(doc_id) OVER (PARTITION BY content_fp) AS exact_canon
+           FROM fp),
+    pairs AS ({_PAIRS_SQL}),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+    q AS ({_QSCORE_SQL}),
+    jq AS (SELECT c.component_id, q.doc_id, q.qscore
+           FROM comp c JOIN q ON c.doc_id = q.doc_id),
+    best AS (SELECT component_id, max(qscore) AS best_qscore
+             FROM jq GROUP BY component_id),
+    canon AS (SELECT b.component_id, min(j.doc_id) AS canonical_id
+              FROM best b JOIN jq j ON j.component_id = b.component_id
+                                   AND j.qscore = b.best_qscore
+              GROUP BY b.component_id),
+    rep AS ({{REP_SQL}}),
+    dec AS ({{DEC_SQL}}),
+    reasons AS (
+      SELECT e.doc_id,
+             CASE
+               WHEN e.doc_id <> e.exact_canon THEN 'exact_dup'
+               WHEN cn.canonical_id <> e.doc_id THEN 'near_dup'
+               WHEN e.doc_id < {DECON_PROBE_MAX_ID} THEN 'benchmark_probe'
+               WHEN d.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN r.is_repetitive THEN 'repetitive'
+               ELSE 'keep'
+             END AS reason
+      FROM ex e
+      JOIN comp c ON c.doc_id = e.doc_id
+      JOIN canon cn ON cn.component_id = c.component_id
+      JOIN rep r ON r.doc_id = e.doc_id
+      LEFT JOIN dec d ON d.doc_id = e.doc_id)
+    SELECT doc_id, reason, (reason = 'keep') AS keep FROM reasons
+    """.replace("{REP_SQL}", ORACLES["repetition_quality"]).replace(
+        "{DEC_SQL}", ORACLES["benchmark_decontaminate"]
+    ),
+)
+def curation_keep_list(spark, sf_dir):
+    """THE curation decision a training pipeline actually ships: one
+    keep/drop verdict per document with a prioritized reason code —
+    exact_dup (not the min-id copy of its content hash) > near_dup
+    (not its cluster's quality-argmax canonical, neardup_canonical_docs)
+    > benchmark_probe (the held-out set itself, docs 0..9) >
+    contaminated (shares an n-gram with the probe set,
+    benchmark_decontaminate) > repetitive (Gopher gates,
+    repetition_quality) > keep. Every constituent is a registered
+    oracle-checked operator and the oracle composes their SQL verbatim
+    as CTEs, so the keep list can never drift from the parts.
+
+    Scale shape: strictly the union of its parts (each documented at
+    its own registration) plus doc-keyed joins to assemble reasons —
+    hash-partitioned on doc_id, no new window over the corpus (the
+    exact-dup min runs per content_fp group, bounded by the largest
+    exact-dup cluster). Reference analog: resolve_entities' merge
+    verdicts (resolve_entities.py:225-301), promoted to corpus scale."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("content_fp")
+    ex = d.withColumn("content_fp", _md5_int(F.col("text"))).select(
+        "doc_id", F.min("doc_id").over(w).alias("exact_canon")
+    )
+    comp = neardup_components(spark, sf_dir)
+    canon = neardup_canonical_docs(spark, sf_dir).select(
+        "component_id", "canonical_id"
+    )
+    nd = comp.join(canon, "component_id").select("doc_id", "canonical_id")
+    rep = repetition_quality(spark, sf_dir).select("doc_id", "is_repetitive")
+    dec = benchmark_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contaminated")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("canonical_id") != F.col("doc_id"), F.lit("near_dup"))
+        .when(F.col("doc_id") < DECON_PROBE_MAX_ID, F.lit("benchmark_probe"))
+        .when(F.col("is_contaminated"), F.lit("contaminated"))
+        .when(F.col("is_repetitive"), F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        ex.join(nd, "doc_id")
+        .join(rep, "doc_id")
+        .join(dec, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "keep")
+    )

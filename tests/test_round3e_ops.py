@@ -100,3 +100,60 @@ def test_incremental_consistent_with_global_pairs(spark):
             if d % 10 == 0 and (o % 10 != 0 or o < d):
                 expect[d] = min(expect.get(d, o), o)
     assert inc == expect
+
+
+def test_curation_keep_list_reconstructs_from_parts(spark):
+    """curation_keep_list must be exactly the prioritized composition of
+    its four constituent registered operators (independent driver-side
+    reconstruction, not plan parity)."""
+    from crunchy_spark.queries import DECON_PROBE_MAX_ID
+
+    # dedup_exact is fp-keyed; rebuild doc->exact_canon via the same fp
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from crunchy_spark.queries import _md5_int
+
+    fp_rows = docs.select(
+        "doc_id", _md5_int(F.col("text")).alias("fp")
+    ).collect()
+    by_fp = {}
+    for r in fp_rows:
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    exact_canon = {d: min(ds) for ds in by_fp.values() for d in ds}
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in QUERIES["neardup_components"](spark, SF_DIR).collect()
+    }
+    canon = {
+        r.component_id: r.canonical_id
+        for r in QUERIES["neardup_canonical_docs"](spark, SF_DIR).collect()
+    }
+    repet = {
+        r.doc_id: r.is_repetitive
+        for r in QUERIES["repetition_quality"](spark, SF_DIR).collect()
+    }
+    contam = {
+        r.doc_id for r in QUERIES["benchmark_decontaminate"](spark, SF_DIR).collect()
+    }
+
+    def expect(d):
+        if d != exact_canon[d]:
+            return "exact_dup"
+        if canon[comp[d]] != d:
+            return "near_dup"
+        if d < DECON_PROBE_MAX_ID:
+            return "benchmark_probe"
+        if d in contam:
+            return "contaminated"
+        if repet[d]:
+            return "repetitive"
+        return "keep"
+
+    got = {
+        r.doc_id: (r.reason, r.keep)
+        for r in QUERIES["curation_keep_list"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(comp)  # every document gets exactly one verdict
+    for d, (reason, keep) in got.items():
+        assert reason == expect(d), f"doc {d}: {reason} != {expect(d)}"
+        assert keep == (reason == "keep")
