@@ -3360,6 +3360,13 @@ def neardup_canonical_docs(spark, sf_dir):
     equality-join argmax, so the hash-match pins cluster membership,
     the quality formula, AND the tie-break."""
     comp = neardup_components(spark, sf_dir).localCheckpoint()
+    return _canonical_docs(spark, sf_dir, comp)
+
+
+def _canonical_docs(spark, sf_dir, comp: DataFrame) -> DataFrame:
+    """Quality-argmax canonical per component over a PROVIDED label
+    table — shared by neardup_canonical_docs and curation_keep_list so
+    a composed caller pays for the closure once."""
     q = quality_score(spark, sf_dir).select("doc_id", "qscore")
     jq = comp.join(q, "doc_id")
     best = jq.groupBy("component_id").agg(
@@ -6186,8 +6193,8 @@ def curation_keep_list(spark, sf_dir):
     ex = d.withColumn("content_fp", _md5_int(F.col("text"))).select(
         "doc_id", F.min("doc_id").over(w).alias("exact_canon")
     )
-    comp = neardup_components(spark, sf_dir)
-    canon = neardup_canonical_docs(spark, sf_dir).select(
+    comp = neardup_components(spark, sf_dir).localCheckpoint()
+    canon = _canonical_docs(spark, sf_dir, comp).select(
         "component_id", "canonical_id"
     )
     nd = comp.join(canon, "component_id").select("doc_id", "canonical_id")
