@@ -53,12 +53,19 @@ def main() -> None:
     spark = get_spark(app_name="crunchy_sf_scaling")
     QUERIES["pricing_summary"](spark, SF_SMALL).count()  # JVM warm-up
 
+    # min-of-2 per query: this VM has documented multi-minute
+    # noisy-neighbor windows (BENCH_SCALING.md) that can inflate a
+    # single sample 3-7x; the min is the engine's cost, the max is the
+    # hypervisor's. Same philosophy as scaling_bench's min-of-8.
     walls: dict[str, dict[str, tuple[float, int]]] = {}
     for sf_dir, key in ((SF_SMALL, "small"), (SF_BIG, "big")):
         for name in HEADLINE:
-            t0 = time.time()
-            n = QUERIES[name](spark, sf_dir).count()
-            walls.setdefault(name, {})[key] = (round(time.time() - t0, 3), n)
+            best, n = float("inf"), 0
+            for _rep in range(2):
+                t0 = time.time()
+                n = QUERIES[name](spark, sf_dir).count()
+                best = min(best, round(time.time() - t0, 3))
+            walls.setdefault(name, {})[key] = (best, n)
             print(f"# {key} {name}: {walls[name][key]}", file=sys.stderr)
 
     lines = [
@@ -66,6 +73,9 @@ def main() -> None:
         "",
         "Same JVM, sequential runs (sf0.01 pass first, so codegen/plan",
         "fixed costs land on the SMALL run — ratios are conservative).",
+        "Each wall is the min of 2 back-to-back reps: this VM has",
+        "documented multi-minute noisy-neighbor windows (BENCH_SCALING.md)",
+        "that inflate a single sample 3-7x; min isolates the engine.",
         f"Flag threshold: wall ratio > {FLAG_AT:.0f}x for 10x data.",
         "Pair ops are annotated with output growth (their wall tracks",
         "emitted pairs — corpus structure, not plan shape).",
