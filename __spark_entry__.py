@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose only evidence is the OLDEST round go first, then
 # queries changed or added THIS round, then the recently-green rest —
 # so every query's correctness row is at most 2 rounds old.
-# Round-4 rotation note: with 99 registered queries and the 50-row cap,
-# the 47 entries NOT in this list carry round-2 driver evidence and will
+# Round-4 rotation note: with 104 registered queries and the 50-row cap,
+# the entries NOT in this list carry round-2 driver evidence and will
 # be 2 rounds old after round 3 — they must head this list next round
 # (every query is also oracle-checked in pytest each run,
 # tests/test_queries_oracle.py, so driver rows are corroboration).
