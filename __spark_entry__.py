@@ -10,7 +10,10 @@ oracle_sql()  — DuckDB twins for every SQL-expressible query (binary
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -31,16 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotation policy (the driver caps CORRECTNESS at 50 rows/round): the
 # queries whose only evidence is the OLDEST round go first, then
 # queries changed or added THIS round, then the recently-green rest —
-# so every query's correctness row is at most 2 rounds old.
-# Round-4 rotation note: with 104 registered queries and the 50-row cap,
-# the entries NOT in this list carry round-2 driver evidence and will
-# be 2 rounds old after round 3 — they must head this list next round
-# (every query is also oracle-checked in pytest each run,
-# tests/test_queries_oracle.py, so driver rows are corroboration).
-# ann_ivfpq_topk, bpe_merge_topk, incremental_neardup,
-# boilerplate_strip and curation_keep_list landed after the cap filled: their round-3 evidence
-# is the pytest oracle at sf0.001 (+sf0.01 spot-checks); head them next
-# round together with the 47 round-2-evidence entries.
+# so every query's green row stays as fresh as the cap allows. This
+# hand list is the deliberate round-3 order (r1-stale entries lead per
+# the round-2 verdict); from round 4 on, queries() rotates ITSELF from
+# the CORRECTNESS_r*.json files (stalest green evidence first — see
+# _latest_green_round), so late additions such as ann_ivfpq_topk /
+# bpe_merge_topk / incremental_neardup / boilerplate_strip /
+# curation_keep_list (no driver row yet; pytest-oracled at sf0.001 and
+# sf0.01) automatically head the round-4 run with no hand edit.
+# Every query is also oracle-checked in pytest each run
+# (tests/test_queries_oracle.py), so driver rows are corroboration.
 _PRIORITY = [
     # evidence last recorded in round 1
     "crawl_schedule_dedup",
@@ -97,10 +100,58 @@ _PRIORITY = [
 ]
 
 
+def _latest_green_round(root: str | None = None) -> dict[str, int]:
+    """{query_name: most recent round with a GREEN driver row} from the
+    CORRECTNESS_r*.json files on disk. Green = all three match flags, or
+    an explicit rows-only ``no_oracle`` row with a row count. A failed
+    or errored row is NOT evidence — the query re-fronts next round so
+    the fix gets a fresh row."""
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                latest[name] = max(latest.get(name, -1), rnd)
+    return latest
+
+
+def _ordered_names(evidence: dict[str, int], registered) -> list[str]:
+    """Rotation order for the driver's capped correctness run.
+
+    Round 4+ (some green row from round >= 3 exists): self-rotating —
+    stalest green evidence first (never-checked / last-round-failed
+    queries lead), so the 50-row cap sweeps the registry and every
+    query's green row stays at most ceil(N/50) rounds old with no hand
+    edit. Round 3 (only r01/r02 evidence): the deliberate hand order
+    (_PRIORITY — r1-stale entries lead per the round-2 verdict)."""
+    if max(evidence.values(), default=0) >= 3:
+        return sorted(registered, key=lambda n: (evidence.get(n, -1), n))
+    ordered = [k for k in _PRIORITY if k in registered]
+    return ordered + [k for k in registered if k not in set(ordered)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = {k: QUERIES[k] for k in _PRIORITY if k in QUERIES}
-    ordered.update({k: v for k, v in QUERIES.items() if k not in ordered})
-    return ordered
+    return {n: QUERIES[n] for n in _ordered_names(_latest_green_round(), QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
