@@ -57,6 +57,8 @@ _PRIORITY = [
     "json_extract_props",
     "orders_page_offset",
     # changed or added in round 3
+    "host_hits",
+    "bigram_logprob_quality",
     "url_trap_detect",
     "mirror_host_detect",
     "crawl_budget_alloc",

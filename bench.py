@@ -86,6 +86,9 @@ HEADLINE = [
     "incremental_neardup",
     "boilerplate_strip",
     "curation_keep_list",
+    # round 3 batch VI: HITS link analysis + bigram-LM quality
+    "host_hits",
+    "bigram_logprob_quality",
 ]
 
 

@@ -6217,3 +6217,232 @@ def curation_keep_list(spark, sf_dir):
         .select("doc_id", reason.alias("reason"))
         .withColumn("keep", F.col("reason") == "keep")
     )
+
+
+# ===========================================================================
+# K. Round-3 batch VI: link-analysis completion (HITS beside PageRank)
+# and the bigram step-up of the corpus-LM quality family.
+# ===========================================================================
+
+HITS_ITERS = 2
+
+_HITS_GRAPH_SQL = """
+    j AS (SELECT l_suppkey, o_custkey, l_returnflag
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+              FROM j
+              UNION ALL
+              SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              FROM j WHERE l_returnflag = 'R'),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+"""
+
+
+def _hits_iter_sql(k: int, prev_h: str) -> str:
+    """One unrolled HITS iteration as oracle CTEs: raw authority from
+    {prev_h} hubs, L2-normalize, raw hubs from the new authorities,
+    L2-normalize."""
+    return f"""
+    a{k}r AS (SELECT e.dst AS node, sum(h.h) AS a
+              FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY 1),
+    a{k}n AS (SELECT sqrt(sum(a * a)) AS z FROM a{k}r),
+    a{k} AS (SELECT nodes.node,
+                    coalesce(r.a, 0) / (SELECT z FROM a{k}n) AS a
+             FROM nodes LEFT JOIN a{k}r r USING (node)),
+    h{k}r AS (SELECT e.src AS node, sum(a.a) AS h
+              FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY 1),
+    h{k}n AS (SELECT sqrt(sum(h * h)) AS z FROM h{k}r),
+    h{k} AS (SELECT nodes.node,
+                    coalesce(r.h, 0) / (SELECT z FROM h{k}n) AS h
+             FROM nodes LEFT JOIN h{k}r r USING (node))"""
+
+
+@register(
+    "host_hits",
+    "WITH "
+    + _HITS_GRAPH_SQL
+    + ", h0 AS (SELECT node, 1.0 AS h FROM nodes),"
+    + ",".join(_hits_iter_sql(k, f"h{k - 1}") for k in range(1, HITS_ITERS + 1))
+    + f"""
+    SELECT a.node, round(a.a, 6) AS authority, round(h.h, 6) AS hub
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)
+    """,
+)
+def host_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) — the second classic
+    link-analysis score a crawl frontier consumes beside host_pagerank:
+    authorities rank CONTENT hosts worth fetching deeply, hubs rank
+    DIRECTORY/seed hosts worth re-expanding (the reference hardcodes
+    this split as its two site queues — tracxn as hub-like seed lists,
+    crunchbase as authority-like content pages,
+    CrunchyCrawler/rabbitmq/scheduler.py:143-159; HITS derives it from
+    the link structure instead). Same data-derived ship/return graph as
+    host_pagerank (cycles + one-sided nodes, so zero-hub and
+    zero-authority cases are exercised). HITS_ITERS mutual-
+    reinforcement iterations, L2-normalized per half-step.
+
+    Scale shape per iteration: two shuffle joins of the edge table
+    against the node-sized score table (keyed src then dst — both grow
+    with data, never broadcast), each followed by a map-side-combinable
+    sum, plus two 1-row broadcast L2 normalizers riding crossJoins
+    (bm25_topk's corpus-stats pattern). Scores are localCheckpoint'd
+    per half-step so plan size stays O(1) in iterations — the same
+    discipline as host_pagerank / _connected_components. The DuckDB
+    oracle unrolls identical iterations as CTEs; round(,6) absorbs
+    summation-order float noise (normalized scores ~1e-2, relative
+    error ~1e-15)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", "o_custkey", "l_returnflag"
+    )
+    s_node = F.concat(F.lit("s"), F.col("l_suppkey"))
+    c_node = F.concat(F.lit("c"), F.col("o_custkey"))
+    ship = j.select(s_node.alias("src"), c_node.alias("dst")).distinct()
+    ret = (
+        j.filter(F.col("l_returnflag") == "R")
+        .select(c_node.alias("src"), s_node.alias("dst"))
+        .distinct()
+    )
+    edges = ship.unionByName(ret).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        ar = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        az = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("z"))
+        auth = (
+            nodes.join(ar, "node", "left")
+            .crossJoin(F.broadcast(az))
+            .select(
+                "node", (F.coalesce("a", F.lit(0.0)) / F.col("z")).alias("a")
+            )
+            .localCheckpoint()
+        )
+        hr = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hz = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("z"))
+        hubs = (
+            nodes.join(hr, "node", "left")
+            .crossJoin(F.broadcast(hz))
+            .select(
+                "node", (F.coalesce("h", F.lit(0.0)) / F.col("z")).alias("h")
+            )
+            .localCheckpoint()
+        )
+    return auth.join(hubs, "node").select(
+        "node",
+        F.round("a", 6).alias("authority"),
+        F.round("h", 6).alias("hub"),
+    )
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram component
+BIGRAM_OUTLIER = -7.0  # mean ln p below this flags a doc as gibberish
+
+
+@register(
+    "bigram_logprob_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_RAW_SQL} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    ufr AS (SELECT tok, count(*) AS ufreq FROM uni GROUP BY tok),
+    tot AS (SELECT sum(ufreq)::DOUBLE AS n_total FROM ufr),
+    b AS (SELECT doc_id,
+                 unnest(toks[1:len(toks) - 1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM t WHERE len(toks) >= 2),
+    tfb AS (SELECT doc_id, w1, w2, count(*) AS tfb FROM b GROUP BY 1, 2, 3),
+    bfr AS (SELECT w1, w2, sum(tfb) AS bfreq FROM tfb GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(bfreq)::DOUBLE AS cfreq FROM bfr GROUP BY 1),
+    s AS (SELECT tfb.doc_id, tfb.tfb,
+                 ln({BIGRAM_LAMBDA} * (bfr.bfreq / ctx.cfreq)
+                    + {1 - BIGRAM_LAMBDA} * (ufr.ufreq / tot.n_total)) AS lp
+          FROM tfb JOIN bfr USING (w1, w2) JOIN ctx USING (w1)
+                   JOIN ufr ON tfb.w2 = ufr.tok CROSS JOIN tot)
+    SELECT doc_id, sum(tfb) AS n_bigrams,
+           round(sum(tfb * lp) / sum(tfb), 4) AS avg_logprob,
+           (round(sum(tfb * lp) / sum(tfb), 4) < {BIGRAM_OUTLIER}) AS is_outlier
+    FROM s GROUP BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark, sf_dir):
+    """Interpolated bigram-LM quality score — the step up from
+    unigram_logprob_quality toward the KenLM-style n-gram perplexity
+    filter every production pipeline (CCNet, Gopher, RefinedWeb) runs:
+    p(w2|w1) = BIGRAM_LAMBDA·(bigram freq / context freq) +
+    (1-BIGRAM_LAMBDA)·(unigram freq / total), both LMs fit on the
+    corpus itself; each doc scores the mean ln p over its bigram
+    instances. Word order now matters — a doc of common words in alien
+    order scores low where the unigram LM cannot see anything wrong.
+    Docs with < 2 tokens have no bigrams and drop out (inner-join
+    semantics, stated in both engines).
+
+    Scale shape: the tokenized corpus is materialized ONCE
+    (localCheckpoint; at 100 TB a persisted table) and feeds both
+    explodes — unigram instances and zipped bigram instances — so raw
+    text is scanned a single time. All LM tables derive by
+    map-side-combinable aggs: (doc,w1,w2) tf, corpus bigram freq,
+    context freq (sum over the BIGRAM table, never a corpus re-scan),
+    unigram freq. Scoring joins are keyed on token/bigram and
+    deliberately NOT broadcast (vocab and bigram-vocab grow with the
+    corpus — Heap's law, same reasoning as unigram_logprob_quality);
+    the 1-row grand total rides a broadcast cross join. Rounding to
+    4 dp happens BEFORE the outlier compare in both engines so the
+    flag can never straddle a float ulp."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        .localCheckpoint()
+    )
+    uni = toks.select("doc_id", F.explode("toks").alias("tok"))
+    ufr = uni.groupBy("tok").agg(F.count("*").alias("ufreq"))
+    tot = ufr.agg(F.sum("ufreq").cast("double").alias("n_total"))
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    # materialized once: feeds corpus bigram freq, context freq, and the
+    # per-doc scoring join (otherwise each consumer re-explodes the corpus)
+    tfb = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tfb"))
+    tfb = tfb.localCheckpoint()
+    bfr = tfb.groupBy("w1", "w2").agg(F.sum("tfb").alias("bfreq"))
+    ctx = bfr.groupBy("w1").agg(F.sum("bfreq").cast("double").alias("cfreq"))
+    lp = F.log(
+        F.lit(BIGRAM_LAMBDA) * (F.col("bfreq") / F.col("cfreq"))
+        + F.lit(1 - BIGRAM_LAMBDA) * (F.col("ufreq") / F.col("n_total"))
+    )
+    mean_lp = F.round(F.sum(F.col("tfb") * lp) / F.sum("tfb"), 4)
+    return (
+        tfb.join(bfr, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(ufr.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tfb").alias("n_bigrams"),
+            mean_lp.alias("avg_logprob"),
+            (mean_lp < BIGRAM_OUTLIER).alias("is_outlier"),
+        )
+    )

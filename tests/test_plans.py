@@ -202,3 +202,24 @@ def test_ivfpq_zero_shuffle_routed_adc(spark):
     assert _shuffles(plan) == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_host_hits_no_cartesian_broadcast_normalizers(spark):
+    """HITS: edge joins against node-sized score tables are real joins
+    (never cartesian); the 1-row L2 normalizers ride broadcasts. The
+    localCheckpoint per half-step means the executed plan only shows
+    the final join — iteration internals are checked by the oracle."""
+    plan = _plan(spark, "host_hits")
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_single_corpus_scan(spark):
+    """The tokenized corpus is localCheckpoint'd and feeds both
+    explodes; the scoring subtree reads the materialized tfb table —
+    no parquet re-scan of documents downstream of the checkpoint."""
+    plan = _plan(spark, "bigram_logprob_quality")
+    assert "CartesianProduct" not in plan
+    # the 1-row grand total rides a broadcast
+    assert "BroadcastExchange" in plan, plan
+    # post-checkpoint there is no documents re-scan at all
+    assert plan.count("Scan parquet") == 0, plan
