@@ -59,6 +59,7 @@ _PRIORITY = [
     # changed or added in round 3
     "host_hits",
     "bigram_logprob_quality",
+    "image_keep_list",
     "url_trap_detect",
     "mirror_host_detect",
     "crawl_budget_alloc",

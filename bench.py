@@ -86,9 +86,11 @@ HEADLINE = [
     "incremental_neardup",
     "boilerplate_strip",
     "curation_keep_list",
-    # round 3 batch VI: HITS link analysis + bigram-LM quality
+    # round 3 batch VI: HITS link analysis, bigram-LM quality, and the
+    # composed multimodal keep/drop decision table
     "host_hits",
     "bigram_logprob_quality",
+    "image_keep_list",
 ]
 
 

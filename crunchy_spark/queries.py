@@ -3671,11 +3671,25 @@ def image_dup_canonical(spark, sf_dir):
     labels = _connected_components(
         meta.select(F.col("image_id").alias("node")), pairs
     )
-    m = meta.select(
+    return _image_canonical(labels, _image_idnum(meta))
+
+
+def _image_idnum(meta: DataFrame) -> DataFrame:
+    """(image_id, w, h, ...) -> (node, pixels, idnum) for the survivor
+    pick — idnum is the numeric tail of 'imgNNNNNNNNNN' ids."""
+    return meta.select(
         F.col("image_id").alias("node"),
         (F.col("w") * F.col("h")).alias("pixels"),
         F.substring("image_id", 4, 10).cast("long").alias("idnum"),
     )
+
+
+def _image_canonical(labels: DataFrame, m: DataFrame) -> DataFrame:
+    """(node, comp) labels + (node, pixels, idnum) -> one survivor per
+    component: max pixels, ties -> min idnum, via ONE map-side-
+    combinable max(struct) agg — no window, no sort. Shared by
+    image_dup_canonical and image_keep_list so the survivor rule cannot
+    drift between the standalone op and the composed decision table."""
     j = labels.join(m, "node")
     best = j.groupBy(F.col("comp").alias("component_id")).agg(
         F.count("*").alias("n_members"),
@@ -3688,6 +3702,137 @@ def image_dup_canonical(spark, sf_dir):
         ).alias("canonical_id"),
         F.col("b.pixels").alias("best_pixels"),
         "n_members",
+    )
+
+
+@register(
+    "image_keep_list",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({{PHASH_PAIRS_SQL}}),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+      SELECT image_id, image_id FROM read_parquet('{_IMAGES_META}')
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+    comp AS (SELECT u AS image_id, min(v) AS component_id FROM reach GROUP BY u),
+    m AS (SELECT image_id, w * h AS pixels,
+                 CAST(substr(image_id, 4) AS BIGINT) AS idnum,
+                 {_CAPNORM} AS cap
+          FROM read_parquet('{_IMAGES_META}')),
+    jm AS (SELECT c.component_id, m.image_id, m.pixels, m.idnum
+           FROM comp c JOIN m USING (image_id)),
+    best AS (SELECT component_id, max(pixels) AS best_pixels
+             FROM jm GROUP BY component_id),
+    pick AS (SELECT jm.component_id, min(jm.idnum) AS canon_idnum
+             FROM jm JOIN best b ON b.component_id = jm.component_id
+                                AND jm.pixels = b.best_pixels
+             GROUP BY jm.component_id),
+    capmin AS (SELECT cap, min(idnum) AS cap_min FROM m GROUP BY cap),
+    nd AS ({{CAP_ND_SQL}}),
+    ndrop AS (SELECT DISTINCT b_id AS image_id FROM nd),
+    q AS ({{QUAL_SQL}}),
+    reasons AS (
+      SELECT m.image_id,
+             CASE
+               WHEN m.idnum <> pick.canon_idnum THEN 'image_dup'
+               WHEN m.idnum <> capmin.cap_min THEN 'caption_dup'
+               WHEN ndrop.image_id IS NOT NULL THEN 'caption_neardup'
+               WHEN NOT q.keep THEN 'low_quality'
+               ELSE 'keep'
+             END AS reason
+      FROM m
+      JOIN comp c ON c.image_id = m.image_id
+      JOIN pick ON pick.component_id = c.component_id
+      JOIN capmin ON capmin.cap = m.cap
+      JOIN q ON q.image_id = m.image_id
+      LEFT JOIN ndrop ON ndrop.image_id = m.image_id)
+    SELECT image_id, reason, (reason = 'keep') AS keep FROM reasons
+    """.replace("{PHASH_PAIRS_SQL}", _PHASH_PAIRS_SQL)
+    .replace("{CAP_ND_SQL}", ORACLES["caption_token_neardup"])
+    .replace("{QUAL_SQL}", ORACLES["image_caption_quality_filter"]),
+)
+def image_keep_list(spark, sf_dir):
+    """THE multimodal curation decision a crawl pipeline ships (the
+    image-side twin of curation_keep_list): one keep/drop verdict per
+    image+caption row with a prioritized reason code — image_dup (not
+    its phash-component's highest-resolution survivor,
+    image_dup_canonical's rule via the shared _image_canonical helper)
+    > caption_dup (not the min-id member of its exact normalized-
+    caption group — re-used alt text / caption farming) >
+    caption_neardup (the LARGER id of any caption_token_neardup pair:
+    keep-first greedy by arrival order, the incremental_neardup
+    convention) > low_quality (fails image_caption_quality_filter's
+    LAION gates) > keep. Every constituent is a registered
+    oracle-checked operator; the oracle composes the phash pair SQL,
+    the caption near-dup SQL, and the quality SQL verbatim as CTEs, so
+    the keep list cannot drift from its parts.
+
+    Scale shape: strictly the union of its parts (each documented at
+    its own registration — banded phash pairs, hash-to-min components,
+    one max(struct) survivor agg, caption-keyed group min, bottom-1-
+    blocked caption pairs, columnar quality gates) plus image_id-keyed
+    joins to assemble the verdict — hash-partitioned throughout, the
+    only per-group work bounded by the largest dup cluster. Ignores
+    sf_dir (fixture universe, same data as oracle)."""
+    meta = spark.read.parquet(_IMAGES_META).select("image_id", "phash", "w", "h")
+    pairs = (
+        phash_band_pairs(meta.select("image_id", "phash"), PHASH_THRESH)
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint()
+    )
+    labels = _connected_components(
+        meta.select(F.col("image_id").alias("node")), pairs
+    ).localCheckpoint()
+    m = _image_idnum(meta)
+    canon = _image_canonical(labels, m).select(
+        "component_id",
+        F.substring("canonical_id", 4, 10).cast("long").alias("canon_idnum"),
+    )
+    img = (
+        labels.join(canon, labels["comp"] == canon["component_id"])
+        .join(m, "node")
+        .select(
+            F.col("node").alias("image_id"),
+            "idnum",
+            "canon_idnum",
+        )
+    )
+    cap = spark.read.parquet(_IMAGES_META).select(
+        F.col("image_id"), _cap_norm().alias("cap")
+    )
+    capmin = (
+        cap.join(m.withColumnRenamed("node", "image_id"), "image_id")
+        .groupBy("cap")
+        .agg(F.min("idnum").alias("cap_min"))
+    )
+    capj = cap.join(
+        m.withColumnRenamed("node", "image_id").select("image_id", "idnum"),
+        "image_id",
+    ).join(capmin, "cap")
+    ndrop = (
+        caption_token_neardup(spark, sf_dir)
+        .select(F.col("b_id").alias("image_id"))
+        .distinct()
+        .withColumn("nd_hit", F.lit(True))
+    )
+    q = image_caption_quality_filter(spark, sf_dir).select(
+        "image_id", F.col("keep").alias("q_keep")
+    )
+    reason = (
+        F.when(F.col("idnum") != F.col("canon_idnum"), F.lit("image_dup"))
+        .when(F.col("idnum") != F.col("cap_min"), F.lit("caption_dup"))
+        .when(F.col("nd_hit"), F.lit("caption_neardup"))
+        .when(~F.col("q_keep"), F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        img.join(capj.select("image_id", "cap_min"), "image_id")
+        .join(ndrop, "image_id", "left")
+        .join(q, "image_id")
+        .select("image_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "keep")
     )
 
 

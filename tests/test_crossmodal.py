@@ -91,3 +91,86 @@ def test_crossmodal_plans_have_no_cartesian(spark):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_keep_list_reconstructs_from_parts(spark):
+    """image_keep_list must be exactly the prioritized composition of
+    its constituents — verified by an INDEPENDENT driver-side
+    reconstruction: union-find over the phash pair stream, pure-Python
+    survivor pick, caption grouping, near-dup drops, and quality gates
+    recomputed from the raw fixture."""
+    import re
+
+    from crunchy_spark.queries import QUERIES
+
+    pdf = _fixture()
+    idnum = {r.image_id: int(r.image_id[3:]) for r in pdf.itertuples()}
+    pixels = {r.image_id: r.w * r.h for r in pdf.itertuples()}
+    cap = {
+        r.image_id: re.sub(r"\s+", " ", r.caption.strip()).lower()
+        for r in pdf.itertuples()
+    }
+
+    # union-find over the registered pair stream
+    parent = {i: i for i in idnum}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in QUERIES["phash_hamming_neardup"](spark, SF).collect():
+        ra, rb = find(r.a_id), find(r.b_id)
+        if ra != rb:
+            parent[max(ra, rb, key=lambda i: idnum[i])] = min(
+                ra, rb, key=lambda i: idnum[i]
+            )
+    comps = {}
+    for i in idnum:
+        comps.setdefault(find(i), []).append(i)
+    canon_of = {}
+    for members in comps.values():
+        best = max(pixels[m] for m in members)
+        survivor = min(
+            (m for m in members if pixels[m] == best), key=lambda m: idnum[m]
+        )
+        for m in members:
+            canon_of[m] = survivor
+
+    cap_min = {}
+    for i, c in cap.items():
+        if c not in cap_min or idnum[i] < idnum[cap_min[c]]:
+            cap_min[c] = i
+    nd_drop = {r.b_id for r in caption_token_neardup(spark, SF).collect()}
+    q_keep = {
+        r.image_id: r.keep
+        for r in image_caption_quality_filter(spark, SF).collect()
+    }
+
+    def expect(i):
+        if canon_of[i] != i:
+            return "image_dup"
+        if cap_min[cap[i]] != i:
+            return "caption_dup"
+        if i in nd_drop:
+            return "caption_neardup"
+        if not q_keep[i]:
+            return "low_quality"
+        return "keep"
+
+    got = {
+        r.image_id: r.reason
+        for r in QUERIES["image_keep_list"](spark, SF).collect()
+    }
+    assert set(got) == set(idnum)
+    mismatches = {i: (got[i], expect(i)) for i in idnum if got[i] != expect(i)}
+    assert not mismatches, mismatches
+    # every reason tier is exercised by the designed fixture structure
+    assert set(got.values()) == {
+        "image_dup",
+        "caption_dup",
+        "caption_neardup",
+        "low_quality",
+        "keep",
+    }
