@@ -60,6 +60,7 @@ _PRIORITY = [
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",
+    "robots_policy",
     "url_trap_detect",
     "mirror_host_detect",
     "crawl_budget_alloc",

@@ -207,6 +207,10 @@ def main() -> None:
         "metric": "headline_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        # the headline set GROWS per round (20 queries in r2, 61+ in r3)
+        # — compare totals across rounds per-query or per n_queries,
+        # never raw total vs raw total
+        "n_queries": len(HEADLINE),
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "emb_lsh_candidate_fraction": cand_frac,

@@ -6591,3 +6591,100 @@ def bigram_logprob_quality(spark, sf_dir):
             (mean_lp < BIGRAM_OUTLIER).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "robots_policy",
+    """
+    WITH r AS (
+      SELECT 'sup' || s_suppkey::VARCHAR || '.example.com' AS host,
+             CASE s_suppkey % 6
+               WHEN 0 THEN NULL
+               WHEN 1 THEN e'User-agent: *\\nCrawl-delay: '
+                           || (s_suppkey % 10)::VARCHAR
+                           || e'\\nDisallow: /private\\n'
+               WHEN 2 THEN e'User-agent: *\\nDisallow: /\\n'
+               WHEN 3 THEN e'User-agent: googlebot\\nCrawl-delay: 1\\n\\n'
+                           || e'User-agent: *\\nCrawl-delay: 2.5\\nDisallow: /tmp\\n'
+               WHEN 4 THEN e'User-agent: *\\nCrawl-delay: '
+                           || (s_suppkey % 10)::VARCHAR
+                           || e'\\nDisallow: /ok\\nUser-agent: badbot\\nDisallow: /\\n'
+               ELSE 'garbage ###'
+             END AS robots_txt
+      FROM supplier),
+    l AS (SELECT host, lower(coalesce(robots_txt, '')) AS t FROM r),
+    sec AS (SELECT host,
+                   regexp_replace(
+                     coalesce(list_filter(string_split(t, 'user-agent:'),
+                                          p -> regexp_matches(p, '^\\s*\\*\\s*\\n'))[1],
+                              ''),
+                     '^\\s*\\*\\s*\\n', '') AS section
+            FROM l)
+    SELECT host,
+           CASE WHEN regexp_extract(section,
+                  'crawl-delay:\\s*([0-9]+(?:\\.[0-9]+)?)', 1) = ''
+                THEN 5.0
+                ELSE regexp_extract(section,
+                  'crawl-delay:\\s*([0-9]+(?:\\.[0-9]+)?)', 1)::DOUBLE
+           END AS crawl_delay_s,
+           NOT regexp_matches(section, '(?m)^\\s*disallow:\\s*/\\s*$') AS robots_allow
+    FROM sec
+    """,
+)
+def robots_policy(spark, sf_dir):
+    """robots.txt -> host-policy parsing as a driver-oracled QUERY
+    surface (the engine path is robots.parse_robots, exercised by
+    tests/test_robots.py and the crawl loop; north_rule: "per-host
+    politeness buckets (crawl-delay, robots.txt cache)"). A
+    deterministic robots corpus is synthesized per supplier host —
+    six variants covering: absent file (permissive default), plain
+    crawl-delay, Disallow-all, a star section AFTER a more specific
+    bot's section (section isolation), a star section FOLLOWED by a
+    disallowing bot section (boundary containment — the later
+    'Disallow: /' must not leak into the star policy), and unparseable
+    garbage (falls back to defaults, a crawler must stay polite on odd
+    robots.txt). The SAME parse_robots the engine broadcasts each
+    round does the parsing — pure regexp_extract/rlike column
+    expressions, zero per-row Python, linear scan shape at any scale.
+
+    The DuckDB twin cannot use the parser's lookahead section regex
+    (RE2) — it isolates the star section by string_split on
+    'user-agent:' instead, which defines the identical boundary; the
+    crawl-delay and disallow-all regexes are shared verbatim. Values
+    are exact doubles (no rounding needed: defaults and small decimal
+    literals)."""
+    from .robots import parse_robots
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+    digit = (k % 10).cast("string")
+    txt = (
+        F.when(k % 6 == 0, F.lit(None).cast("string"))
+        .when(
+            k % 6 == 1,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                digit,
+                F.lit("\nDisallow: /private\n"),
+            ),
+        )
+        .when(k % 6 == 2, F.lit("User-agent: *\nDisallow: /\n"))
+        .when(
+            k % 6 == 3,
+            F.lit(
+                "User-agent: googlebot\nCrawl-delay: 1\n\n"
+                "User-agent: *\nCrawl-delay: 2.5\nDisallow: /tmp\n"
+            ),
+        )
+        .when(
+            k % 6 == 4,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                digit,
+                F.lit("\nDisallow: /ok\nUser-agent: badbot\nDisallow: /\n"),
+            ),
+        )
+        .otherwise(F.lit("garbage ###"))
+    )
+    host = F.concat(F.lit("sup"), k.cast("string"), F.lit(".example.com"))
+    return parse_robots(s.select(host.alias("host"), txt.alias("robots_txt")))

@@ -87,7 +87,13 @@ def test_quality_filter_gates(spark):
 
 
 def test_crossmodal_plans_have_no_cartesian(spark):
-    for q in (crossmodal_dup_classify, caption_token_neardup):
+    from crunchy_spark.queries import QUERIES
+
+    for q in (
+        crossmodal_dup_classify,
+        caption_token_neardup,
+        QUERIES["image_keep_list"],
+    ):
         plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan

@@ -337,3 +337,30 @@ def test_recrawl_schedule_semantics(spark):
     assert got[3].interval_s == RECRAWL_MIN_S
     for r in got.values():
         assert r.next_fetch_epoch > 0
+
+
+def test_host_hits_norm_and_structure(spark):
+    """HITS invariants on the same link graph: the authority and hub
+    vectors are L2-normalized (sum of squares = 1 up to rounding),
+    non-negative, and the graph's one-sided nodes give zero-authority
+    (pure sources) and zero-hub (pure sinks/dangling) rows alongside
+    doubly-connected ones — both normalization paths exercised."""
+    from crunchy_spark.queries import host_hits
+
+    rows = host_hits(spark, SF).collect()
+    n = len(rows)
+    a2 = sum(r.authority**2 for r in rows)
+    h2 = sum(r.hub**2 for r in rows)
+    assert abs(a2 - 1.0) < n * 5e-6, a2
+    assert abs(h2 - 1.0) < n * 5e-6, h2
+    assert all(r.authority >= 0 and r.hub >= 0 for r in rows)
+    assert all(r.authority > 0 or r.hub > 0 for r in rows)
+    # both node classes present; every supplier ships (hub>0) and every
+    # customer is shipped to (authority>0) — the class asymmetry shows
+    # up as suppliers concentrating authority (many R-returns each) vs
+    # customers spreading it: top authority must far exceed uniform
+    kinds = {r.node[0] for r in rows}
+    assert kinds == {"s", "c"}
+    assert all(r.hub > 0 for r in rows if r.node[0] == "s")
+    assert all(r.authority > 0 for r in rows if r.node[0] == "c")
+    assert max(r.authority for r in rows) > 3.0 / (n**0.5)
