@@ -61,6 +61,7 @@ _PRIORITY = [
     "bigram_logprob_quality",
     "image_keep_list",
     "robots_policy",
+    "sitemap_extract",
     "url_trap_detect",
     "mirror_host_detect",
     "crawl_budget_alloc",

@@ -6688,3 +6688,67 @@ def robots_policy(spark, sf_dir):
     )
     host = F.concat(F.lit("sup"), k.cast("string"), F.lit(".example.com"))
     return parse_robots(s.select(host.alias("host"), txt.alias("robots_txt")))
+
+
+@register(
+    "sitemap_extract",
+    """
+    WITH r AS (
+      SELECT 'sup' || s_suppkey::VARCHAR || '.example.com' AS host,
+             '<?xml version="1.0"?><urlset>' ||
+             array_to_string(list_transform(range(1, s_suppkey % 3 + 2),
+               j -> '<url><loc>https://sup' || s_suppkey::VARCHAR
+                    || '.example.com/page/' || j::VARCHAR
+                    || '</loc><lastmod>2026-05-0' || j::VARCHAR
+                    || '</lastmod></url>'), '')
+             || '</urlset>' AS xml
+      FROM supplier),
+    e AS (SELECT host,
+                 regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+                 regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS mods
+          FROM r)
+    SELECT host, unnest(locs) AS url, unnest(mods) AS lastmod FROM e
+    """,
+)
+def sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion — the crawl seed-expansion source every
+    production frontier consumes beside operator-submitted seeds (S1)
+    and in-page link expansion (expand.py): parse sitemap XML into
+    (host, url, lastmod) rows ready for frontier ingest. The reference
+    has no sitemap path (its seeds arrive via POST /createCrawl,
+    api/views.py:19-42); north_rule's from-scratch frontier gets the
+    standard one. A deterministic sitemap corpus is synthesized per
+    supplier host (1-3 <url> entries each); extraction is
+    regexp_extract_all over <loc>/<lastmod> + a positional zip-explode
+    — pure column expressions, linear scan shape, no XML lib and no
+    per-row Python (real-world sitemaps are shallow enough that regex
+    extraction is what crawlers actually ship for the fast path;
+    Spark's xpath_* SQL functions are the strict-XML alternative).
+    lastmod stays a string (date equality is exact cross-engine; the
+    frontier's recrawl logic consumes it via recrawl_schedule)."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+    host = F.concat(F.lit("sup"), ks, F.lit(".example.com"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.expr(
+            "array_join(transform(sequence(1, s_suppkey % 3 + 1), j -> concat("
+            "'<url><loc>https://sup', cast(s_suppkey as string),"
+            "'.example.com/page/', cast(j as string),"
+            "'</loc><lastmod>2026-05-0', cast(j as string),"
+            "'</lastmod></url>')), '')"
+        ),
+        F.lit("</urlset>"),
+    )
+    r = s.select(host.alias("host"), xml.alias("xml"))
+    e = r.select(
+        "host",
+        F.expr("regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)").alias("locs"),
+        F.expr(
+            "regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)"
+        ).alias("mods"),
+    ).withColumn("z", F.explode(F.arrays_zip("locs", "mods")))
+    return e.select(
+        "host", F.col("z.locs").alias("url"), F.col("z.mods").alias("lastmod")
+    )
