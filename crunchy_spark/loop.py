@@ -55,6 +55,12 @@ class CrawlConfig:
     # frontier delta segments tolerated before a compaction rewrite
     # (Iceberg merge-on-read -> periodic rewrite_data_files analog)
     compact_every: int = 8
+    # snapshot versions retained for time travel / rollback; older
+    # manifests and their exclusively-referenced segments are GC'd on
+    # each compaction round (Iceberg expire_snapshots analog — a
+    # long-lived crawl otherwise retains every dead frontier base
+    # forever). None disables expiry.
+    snapshot_keep_last: int | None = 64
     interested: list[str] = field(default_factory=lambda: list(INTERESTED_INDUSTRIES))
 
 
@@ -423,6 +429,10 @@ class CrawlEngine:
                 appends=appends,
                 meta=meta_out,
             )
+            # GC beyond the retention window only on compaction rounds —
+            # the cadence that actually creates dead base segments
+            if self.conf.snapshot_keep_last:
+                self.store.expire_snapshots(self.conf.snapshot_keep_last)
         else:
             self.store.commit(
                 appends=appends,

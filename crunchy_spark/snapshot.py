@@ -151,3 +151,48 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path())
+
+    def expire_snapshots(self, keep_last: int = 8) -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` analog: delete manifests older
+        than the newest ``keep_last`` versions, plus every data segment
+        referenced ONLY by expired manifests. Without this a long crawl
+        retains every historical parquet version forever — at 10^10-URL
+        scale the dominant storage cost is dead frontier bases, not live
+        state. Time travel / rollback stay available within the retained
+        window; the CURRENT pointer (and anything it references) is
+        never touched. Returns {manifests_deleted, segments_deleted}.
+
+        Ordering matches Iceberg's safety argument: compute the live
+        set from RETAINED manifests first, delete data files, delete
+        expired manifests last — a crash mid-expire leaves only
+        harmless orphan manifests pointing at missing segments below
+        the retention window."""
+        import re
+        import shutil
+
+        cur = self.current_version()
+        if cur < 0:
+            return {"manifests_deleted": 0, "segments_deleted": 0}
+        cutoff = cur - max(1, keep_last) + 1
+        retained, expired = [], []
+        for fn in sorted(os.listdir(self.snap_dir)):
+            m = re.fullmatch(r"v(\d{6})\.json", fn)
+            if m:
+                (retained if int(m.group(1)) >= cutoff else expired).append(
+                    int(m.group(1))
+                )
+        live: set[str] = set()
+        for v in retained:
+            for paths in self.manifest(v)["tables"].values():
+                live.update(paths)
+        dead: set[str] = set()
+        for v in expired:
+            for paths in self.manifest(v)["tables"].values():
+                dead.update(p for p in paths if p not in live)
+        for p in dead:
+            full = os.path.join(self.root, p)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        for v in expired:
+            os.remove(os.path.join(self.snap_dir, f"v{v:06d}.json"))
+        return {"manifests_deleted": len(expired), "segments_deleted": len(dead)}

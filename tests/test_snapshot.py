@@ -31,3 +31,72 @@ def test_meta_roundtrip(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "store"))
     store.commit({"a": spark.range(1).toDF("x")}, meta={"round": 3, "fetched": 10})
     assert store.manifest()["meta"] == {"round": 3, "fetched": 10}
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Iceberg expire_snapshots analog: manifests below the retention
+    window disappear with every segment ONLY they reference; segments
+    carried forward into retained manifests survive; the retained
+    window stays fully readable (time travel included)."""
+    import os
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    # v0: a + keep (keep never rewritten -> its v0 segment must survive
+    # any expiry because live manifests still reference it)
+    store.commit({"a": spark.range(1).toDF("x"), "keep": spark.range(4).toDF("k")})
+    for i in range(2, 6):
+        store.commit({"a": spark.range(i).toDF("x")})  # v1..v4 rewrite a
+    res = store.expire_snapshots(keep_last=2)  # retain v3, v4
+    assert res == {"manifests_deleted": 3, "segments_deleted": 3}
+    # retained window readable, including time travel to v3
+    assert store.load(spark, "a").count() == 5
+    assert store.load(spark, "a", version=3).count() == 4
+    # the carried-forward table still reads from its v0 segment
+    assert store.load(spark, "keep").count() == 4
+    assert os.path.isdir(tmp_path / "store" / "data" / "keep" / "v000000")
+    # dead bases really gone; expired manifests really gone
+    assert not os.path.isdir(tmp_path / "store" / "data" / "a" / "v000000")
+    assert not os.path.exists(
+        tmp_path / "store" / "_snapshots" / "v000000.json"
+    )
+    # idempotent
+    assert store.expire_snapshots(keep_last=2) == {
+        "manifests_deleted": 0,
+        "segments_deleted": 0,
+    }
+
+
+def test_engine_expiry_bounds_store(spark, tmp_path):
+    """A long crawl with a small retention window keeps the snapshot
+    dir bounded: manifest count <= keep_last and no dead frontier bases
+    accumulate, while the live state stays correct and resumable."""
+    import os
+
+    from crunchy_spark import datagen
+    from crunchy_spark.loop import CrawlConfig, CrawlEngine
+
+    fx = str(tmp_path / "fx")
+    datagen.write_fixtures(spark, fx, scale="unit")
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(
+        spark,
+        store,
+        fx,
+        CrawlConfig(
+            round_seconds=1e6,
+            compact_every=3,
+            snapshot_keep_last=4,
+        ),
+    )
+    eng.bootstrap(spark.read.parquet(fx + "/frontier_seed.parquet"))
+    eng.run(max_rounds=12)
+    manifests = [
+        f
+        for f in os.listdir(tmp_path / "store" / "_snapshots")
+        if f.endswith(".json")
+    ]
+    assert len(manifests) <= 4 + 3  # window + rounds since last compaction
+    # live state still consistent and resumable from the kept window
+    eng2 = CrawlEngine(spark, store, fx, CrawlConfig(round_seconds=1e6))
+    assert eng2.items().count() == eng.items().count()
+    assert store.load(spark, "frontier").count() > 0
