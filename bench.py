@@ -91,6 +91,9 @@ HEADLINE = [
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",
+    # round 3 batch VII: oracled binary header sniff + SURT URL index
+    "image_header_sniff",
+    "surt_url_index",
 ]
 
 

@@ -6752,3 +6752,203 @@ def sitemap_extract(spark, sf_dir):
     return e.select(
         "host", F.col("z.locs").alias("url"), F.col("z.mods").alias("lastmod")
     )
+
+
+# ===========================================================================
+# R3 batch VII: fully-oracled binary-payload op + SURT CDX-style URL index
+# ===========================================================================
+_IMAGES_BIN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "images_bin.parquet",
+)
+
+_HEXD = "0123456789ABCDEF"
+
+
+def _hexpair_sql(h: str, i: int) -> str:
+    """DuckDB int value of the hex byte at 1-based char offset ``i``."""
+    return (
+        f"((strpos('{_HEXD}', substr({h},{i},1))-1)*16"
+        f" + (strpos('{_HEXD}', substr({h},{i+1},1))-1))"
+    )
+
+
+def _le16_sql(h: str, i: int) -> str:
+    """DuckDB little-endian uint16 whose low byte starts at char ``i``."""
+    return f"({_hexpair_sql(h, i + 2)}*256 + {_hexpair_sql(h, i)})"
+
+
+@register(
+    "image_header_sniff",
+    f"""
+    WITH b AS (SELECT image_id, fmt, w, h, bytes
+               FROM read_parquet('{_IMAGES_BIN}')),
+    hx AS (SELECT image_id, fmt, w, h,
+                  octet_length(bytes) AS payload_len,
+                  substr(hex(bytes), 1, 18) AS hdr
+           FROM b),
+    d AS (SELECT *,
+      CASE substr(hdr, 1, 8) WHEN '43534C30' THEN 'png'
+                             WHEN '43535930' THEN 'jpeg'
+                             ELSE 'unknown' END AS fmt_sniffed,
+      {_le16_sql('hdr', 9)} AS hdr_w,
+      {_le16_sql('hdr', 13)} AS hdr_h,
+      {_hexpair_sql('hdr', 17)} AS channels
+      FROM hx)
+    SELECT image_id, fmt_sniffed, hdr_w, hdr_h, channels, payload_len,
+           (fmt_sniffed = fmt AND hdr_w = w AND hdr_h = h) AS meta_match,
+           (payload_len * 1000) // (hdr_w * hdr_h * channels) AS bytes_per_kpx
+    FROM d
+    """,
+)
+def image_header_sniff(spark, sf_dir):
+    """Magic-byte MIME sniff + header field extraction over raw payload
+    bytes — ENTIRELY JVM-side (hex + substring + conv column expressions
+    on the binary column; zero Python, zero decode). This is the
+    fetch-pipeline gate that runs BEFORE any expensive decode: classify
+    the container from its magic (CSL0/CSY0 here; JPEG's FFD8FF / PNG's
+    89504E47 in production — same expressions, different literals),
+    parse the little-endian w/h/channels header, and flag payloads whose
+    header disagrees with the catalog metadata (corrupt or mislabeled
+    fetches get dropped without ever reaching the decoder).
+
+    First BINARY op with a full DuckDB value-hash oracle (the committed
+    fixtures/images_bin.parquet carries the payload bytes; all prior
+    image ops were rows-only): both engines parse the same 9 header
+    bytes from hex text. Spark substrings the BINARY first (9 bytes ->
+    18 hex chars; the scan never widens the payload), DuckDB hexes the
+    blob then substrs — this DuckDB build lacks substring-on-BLOB.
+
+    At 100 TB: linear scan, no shuffle, and the binary column's only
+    materialization is a 9-byte slice — the sniff runs at IO speed.
+    bytes_per_kpx (integer permille, exact cross-engine) is the
+    compression-ratio facet that feeds size-anomaly triage (truncated
+    zlib streams land far below the fleet's per-format band).
+    Reference: Crunchy trusts Content-Type and scrapy's decode
+    (spiders/crunchy.py fetch callbacks); the from-scratch engine
+    sniffs, per north_rule's fetched image+caption payload table.
+    Ignores sf_dir: payload universe is the committed image fixture."""
+    b = spark.read.parquet(_IMAGES_BIN)
+    hdr = F.hex(F.expr("substring(bytes, 1, 9)"))
+    d = b.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        F.length("bytes").cast("long").alias("payload_len"),
+        hdr.alias("hdr"),
+    ).select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        "payload_len",
+        F.when(F.substring("hdr", 1, 8) == "43534C30", "png")
+        .when(F.substring("hdr", 1, 8) == "43535930", "jpeg")
+        .otherwise("unknown")
+        .alias("fmt_sniffed"),
+        F.conv(
+            F.concat(F.substring("hdr", 11, 2), F.substring("hdr", 9, 2)), 16, 10
+        )
+        .cast("long")
+        .alias("hdr_w"),
+        F.conv(
+            F.concat(F.substring("hdr", 15, 2), F.substring("hdr", 13, 2)), 16, 10
+        )
+        .cast("long")
+        .alias("hdr_h"),
+        F.conv(F.substring("hdr", 17, 2), 16, 10).cast("long").alias("channels"),
+    )
+    return d.select(
+        "image_id",
+        "fmt_sniffed",
+        "hdr_w",
+        "hdr_h",
+        "channels",
+        "payload_len",
+        (
+            (F.col("fmt_sniffed") == F.col("fmt"))
+            & (F.col("hdr_w") == F.col("w"))
+            & (F.col("hdr_h") == F.col("h"))
+        ).alias("meta_match"),
+        F.floor(
+            (F.col("payload_len") * 1000)
+            / (F.col("hdr_w") * F.col("hdr_h") * F.col("channels"))
+        ).alias("bytes_per_kpx"),
+    )
+
+
+SURT_BLOCK = 256  # URLs per index block (cluster.idx granularity)
+
+
+@register(
+    "surt_url_index",
+    f"""
+    WITH u AS (
+      SELECT o_orderkey AS seq,
+             'h' || (o_custkey % 40)::VARCHAR || '.s'
+             || (o_orderkey % 3)::VARCHAR || '.crunchbase.com' AS host,
+             '/organization/co-' || (o_orderkey % 3000)::VARCHAR AS path
+      FROM orders),
+    s AS (SELECT seq,
+                 array_to_string(list_reverse(string_split(host, '.')), ',')
+                 || ')' || path AS surt_key
+          FROM u),
+    r AS (SELECT surt_key, seq,
+                 row_number() OVER (ORDER BY surt_key, seq) AS rnk
+          FROM s)
+    SELECT (rnk - 1) // {SURT_BLOCK} AS block_id,
+           count(*) AS n_urls,
+           min(surt_key) AS key_min,
+           max(surt_key) AS key_max
+    FROM r GROUP BY 1
+    """,
+)
+def surt_url_index(spark, sf_dir):
+    """SURT-ordered URL index manifest — the Common-Crawl-CDX-style
+    secondary index a 10^10-URL frontier needs for prefix lookups
+    ("every URL under host X / domain Y"): canonical sort key =
+    reversed host labels joined by commas + ')' + path (SURT), global
+    total order over that key, then fixed-size blocks with (key_min,
+    key_max, n_urls) per block — the driver-sized manifest (cluster.idx
+    analog) that routes a prefix query to the one block-range that can
+    contain it.
+
+    Scale shape: the global order comes from global_fifo_rank
+    (frontier.py) — repartitionByRange + per-partition row_number + a
+    32-row offset census, Spark's parallel total sort — NOT a
+    single-partition Window.orderBy. Block stats are a map-side-
+    combinable groupBy on (rnk div {SURT_BLOCK}). The reference keeps no
+    URL index at all (Mongo find-by-url only, crunchyapp/models.py);
+    north_rule's Iceberg frontier gets range metadata for free once
+    rows are written in SURT order — this query IS that write-order
+    plan plus its manifest."""
+    from .frontier import global_fifo_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    host = F.concat(
+        F.lit("h"),
+        (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".s"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit(".crunchbase.com"),
+    )
+    path = F.concat(
+        F.lit("/organization/co-"), (F.col("o_orderkey") % 3000).cast("string")
+    )
+    s = o.select(
+        F.col("o_orderkey").alias("seq"),
+        F.concat(
+            F.concat_ws(",", F.reverse(F.split(host, "\\."))), F.lit(")"), path
+        ).alias("surt_key"),
+    )
+    r = global_fifo_rank(s, ("surt_key", "seq"), "rnk")
+    return (
+        r.groupBy(F.floor((F.col("rnk") - 1) / SURT_BLOCK).alias("block_id"))
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("surt_key").alias("key_min"),
+            F.max("surt_key").alias("key_max"),
+        )
+    )
