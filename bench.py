@@ -94,6 +94,10 @@ HEADLINE = [
     # round 3 batch VII: oracled binary header sniff + SURT URL index
     "image_header_sniff",
     "surt_url_index",
+    # round 3 batch VIII: WARC offsets, conditional-GET plan, lang-ID eval
+    "warc_offset_index",
+    "etag_revalidate_plan",
+    "lang_confusion",
 ]
 
 

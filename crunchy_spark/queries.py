@@ -6952,3 +6952,174 @@ def surt_url_index(spark, sf_dir):
             F.max("surt_key").alias("key_max"),
         )
     )
+
+
+# ===========================================================================
+# R3 batch VIII: WARC-style byte-offset index, conditional-GET revalidation
+# planning, and the language-ID confusion matrix
+# ===========================================================================
+WARC_SHARD_BUDGET = 131_072  # stored payload bytes per archive shard
+
+
+@register(
+    "warc_offset_index",
+    f"""
+    WITH b AS (SELECT image_id, fmt, octet_length(bytes)::BIGINT AS length
+               FROM read_parquet('{_IMAGES_BIN}')),
+    c AS (SELECT *,
+            coalesce(sum(length) OVER (PARTITION BY fmt ORDER BY image_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM b),
+    s AS (SELECT *, (cum_before // {WARC_SHARD_BUDGET})::BIGINT AS shard_id FROM c)
+    SELECT image_id, fmt, shard_id,
+           cum_before - min(cum_before) OVER (PARTITION BY fmt, shard_id) AS offset,
+           length
+    FROM s
+    """,
+)
+def warc_offset_index(spark, sf_dir):
+    """WARC/CDX-style byte-offset index over the REAL stored payload
+    bytes: records pack contiguously in (fmt, image_id) order into
+    {WARC_SHARD_BUDGET}-byte archive shards, and every record gets its
+    (shard_id, offset, length) — the random-access index that lets a
+    trainer or re-parser fetch ONE record from a multi-TB archive with
+    a single ranged read (Common Crawl serves exactly this triple per
+    CDX line: filename/offset/length). image_shard_pack is the
+    manifest (one row per shard); this is the per-record read index.
+
+    Scale shape: the running sum reuses the two-phase range-sort +
+    census-offset machinery (_per_lang_cumsum_before) — no
+    single-partition window over the corpus; the only windows in the
+    final plan are shard-bounded (min(cum_before) per (fmt, shard_id),
+    at most a shard's records per group). lengths come from
+    octet_length of the committed payload fixture, so the oracle
+    hash-matches real byte math, not estimates. The reference archives
+    nothing (items go to Mongo, models.py); north_rule's fetched-
+    payload table needs replayable storage. Ignores sf_dir (payload
+    universe is the committed image fixture)."""
+    b = spark.read.parquet(_IMAGES_BIN).select(
+        F.col("fmt").alias("lang"),
+        F.col("image_id").alias("doc_id"),
+        F.length("bytes").cast("long").alias("n_tok"),
+    )
+    c = _per_lang_cumsum_before(b)
+    s = c.select(
+        F.col("doc_id").alias("image_id"),
+        F.col("lang").alias("fmt"),
+        F.col("n_tok").alias("length"),
+        F.col("cum_before"),
+        F.expr(f"cum_before div {WARC_SHARD_BUDGET}").alias("shard_id"),
+    )
+    w = Window.partitionBy("fmt", "shard_id")
+    return s.select(
+        "image_id",
+        "fmt",
+        "shard_id",
+        (F.col("cum_before") - F.min("cum_before").over(w)).alias("offset"),
+        "length",
+    )
+
+
+@register("etag_revalidate_plan", None)  # oracle composed below (reuses sitemap CTE)
+def etag_revalidate_plan(spark, sf_dir):
+    """Conditional-GET revalidation planning — the freshness decision a
+    recrawler makes per known URL once sitemap lastmod metadata exists
+    (sitemap_extract) and fetch history accumulates (recrawl_schedule's
+    input): never-fetched URLs get a full fetch; URLs whose sitemap
+    lastmod is newer than the last fetch revalidate with
+    If-None-Match when an ETag was stored (a 304 costs headers only)
+    and re-fetch fully otherwise; URLs with no newer lastmod are
+    skipped this cycle. Bandwidth math at 10^10 URLs: the skip + 304
+    classes are the difference between a refresh crawl that moves the
+    whole corpus and one that moves the changed slice.
+
+    Deterministic fetch history is synthesized per URL from its host/
+    page ids ((k + j) % 7 == 0 never fetched; last_fetch day =
+    (k*3 + j) % 4 + 1; ETag stored iff k % 2 == 0 — decoupled from the
+    k % 3 page-count key so hosts with newer lastmod pages exist on
+    BOTH sides of the ETag split) against the sitemap
+    lastmod days 1..3 — ISO date strings compare lexicographically in
+    both engines. Plan shape: one projection over sitemap_extract's
+    rows, zero joins (history is derived, not looked up — the engine's
+    real history join is recrawl_schedule's lag-window path).
+    Reference: Crunchy refetches unconditionally (no ETag/lastmod
+    anywhere in spiders/); north_rule's politeness budget makes
+    conditional revalidation the scale path."""
+    sm = QUERIES["sitemap_extract"](spark, sf_dir)
+    k = F.regexp_extract("host", r"^sup(\d+)\.", 1).cast("long")
+    j = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    fetched = (k + j) % 7 != 0
+    last_fetch = F.when(
+        fetched, F.concat(F.lit("2026-05-0"), ((k * 3 + j) % 4 + 1).cast("string"))
+    )
+    has_etag = fetched & (k % 2 == 0)
+    action = (
+        F.when(~fetched, F.lit("fetch_full"))
+        .when(
+            F.col("lastmod") > last_fetch,
+            F.when(has_etag, F.lit("conditional_get")).otherwise(F.lit("fetch_full")),
+        )
+        .otherwise(F.lit("skip"))
+    )
+    return sm.select(
+        "url",
+        "lastmod",
+        last_fetch.alias("last_fetch"),
+        has_etag.alias("has_etag"),
+        action.alias("action"),
+    )
+
+
+ORACLES["etag_revalidate_plan"] = f"""
+    WITH sm AS ({ORACLES["sitemap_extract"]}),
+    d AS (SELECT url, lastmod,
+                 regexp_extract(host, '^sup(\\d+)\\.', 1)::BIGINT AS k,
+                 regexp_extract(url, '/page/(\\d+)$', 1)::BIGINT AS j
+          FROM sm),
+    h AS (SELECT url, lastmod,
+                 ((k + j) % 7 != 0) AS fetched,
+                 CASE WHEN (k + j) % 7 != 0
+                      THEN '2026-05-0' || ((k*3 + j) % 4 + 1)::VARCHAR END AS last_fetch,
+                 (((k + j) % 7 != 0) AND k % 2 = 0) AS has_etag
+          FROM d)
+    SELECT url, lastmod, last_fetch, has_etag,
+           CASE WHEN NOT fetched THEN 'fetch_full'
+                WHEN lastmod > last_fetch AND has_etag THEN 'conditional_get'
+                WHEN lastmod > last_fetch THEN 'fetch_full'
+                ELSE 'skip' END AS action
+    FROM h
+    """
+
+
+@register("lang_confusion", None)  # oracle composed below (reuses lang_id CTE)
+def lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: the (true lang x predicted lang)
+    confusion matrix with each cell's share of its true language — the
+    monitoring table that tells a curation pipeline WHERE its lang-ID
+    heuristic leaks (e.g. 'de docs misrouted to en' directly sizes the
+    contamination of the en training mix). Composes the registered
+    lang_id operator verbatim (its oracle SQL is reused as a CTE, so
+    this table cannot drift from the classifier it audits — the
+    curation_keep_list discipline applied to evaluation).
+
+    Plan shape: one map-side-combinable agg on (lang, pred_lang) over
+    lang_id's projection; the share window runs over the AGGREGATED
+    <=n_langs^2-row table, never the corpus."""
+    li = QUERIES["lang_id"](spark, sf_dir)
+    agg = li.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("share_of_lang"),
+    )
+
+
+ORACLES["lang_confusion"] = f"""
+    WITH li AS ({ORACLES["lang_id"]}),
+    agg AS (SELECT lang, pred_lang, count(*) AS n FROM li GROUP BY lang, pred_lang)
+    SELECT lang, pred_lang, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS share_of_lang
+    FROM agg
+    """

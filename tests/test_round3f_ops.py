@@ -51,3 +51,57 @@ def test_surt_index_blocks_are_contiguous_and_complete(spark):
     # the total order comes from global_fifo_rank's range partitioning,
     # never a single-partition global window
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_warc_offsets_contiguous_within_shard(spark):
+    rows = QUERIES["warc_offset_index"](spark, SF).collect()
+    assert len(rows) == 256
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in rows:
+        shards[(r["fmt"], r["shard_id"])].append(r)
+    from crunchy_spark.queries import WARC_SHARD_BUDGET
+
+    for (fmt, sid), recs in shards.items():
+        recs.sort(key=lambda r: r["image_id"])
+        # records tile the shard: first at 0, each next starts where
+        # the previous ended — a single ranged read fetches any record
+        assert recs[0]["offset"] == 0, (fmt, sid)
+        for a, b in zip(recs, recs[1:]):
+            assert b["offset"] == a["offset"] + a["length"], (fmt, sid)
+        total = sum(r["length"] for r in recs)
+        assert total <= WARC_SHARD_BUDGET + max(r["length"] for r in recs)
+
+
+def test_etag_plan_partitions_urls(spark):
+    rows = QUERIES["etag_revalidate_plan"](spark, SF).collect()
+    acts = {r["action"] for r in rows}
+    assert acts == {"fetch_full", "conditional_get", "skip"}
+    for r in rows:
+        if r["last_fetch"] is None:
+            assert r["action"] == "fetch_full" and not r["has_etag"]
+        elif r["action"] == "skip":
+            assert r["lastmod"] <= r["last_fetch"]
+        elif r["action"] == "conditional_get":
+            assert r["has_etag"] and r["lastmod"] > r["last_fetch"]
+
+
+def test_lang_confusion_shares_complete(spark):
+    rows = QUERIES["lang_confusion"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    from collections import defaultdict
+
+    by_lang = defaultdict(float)
+    for r in rows:
+        by_lang[r["lang"]] += r["share_of_lang"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 0.01, (lang, s)
+    plan = (
+        QUERIES["lang_confusion"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
