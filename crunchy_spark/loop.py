@@ -173,10 +173,11 @@ class CrawlEngine:
     # path is the norm)
     BROADCAST_DELTA_MAX = 5_000_000
 
-    def frontier_view(self) -> DataFrame:
+    def frontier_view(self, version: int | None = None) -> DataFrame:
         """Merge-on-read frontier: base segment + status-flip delta
         segments merged to latest state per sha_int (Iceberg equality-
-        delete semantics).
+        delete semantics). ``version`` time-travels to an older
+        committed snapshot (default: current).
 
         Fast path: deltas are round-sized while the base is the whole
         frontier, so instead of a latest-state aggregate over everything
@@ -190,9 +191,9 @@ class CrawlEngine:
 
         from .frontier import latest_state
 
-        segs = self.store.manifest()["tables"]["frontier"]
+        segs = self.store.manifest(version)["tables"]["frontier"]
         if len(segs) == 1:
-            return self.store.load(self.spark, "frontier")
+            return self.store.load(self.spark, "frontier", version=version)
         base = self.spark.read.parquet(_os.path.join(self.store.root, segs[0]))
         deltas = self.spark.read.parquet(
             *[_os.path.join(self.store.root, p) for p in segs[1:]]
@@ -202,7 +203,7 @@ class CrawlEngine:
         # avoids an extra Spark job scanning all delta parquet every
         # round; counting is only the fallback for segments committed by
         # writers that didn't record a count
-        seg_counts = self.store.segment_rows("frontier")[1:]
+        seg_counts = self.store.segment_rows("frontier", version=version)[1:]
         n_delta = (
             sum(seg_counts) if all(c is not None for c in seg_counts)
             else deltas.count()
@@ -216,6 +217,116 @@ class CrawlEngine:
             F.broadcast(latest.select("sha_int")), "sha_int", "left_anti"
         )
         return untouched.unionByName(latest)
+
+    # ------------------------------------------------------------------
+    def frontier_changelog(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Iceberg-CDC-style incremental read: the NET row-level changes
+        to the merged frontier between two committed snapshots —
+        (sha_int, url_canon, host, old_status, new_status, change) with
+        change in {'insert', 'update'} (the frontier never deletes keys;
+        compaction rewrites segments, not rows).
+
+        Fast path — O(delta), the scale story: when ``v_from``'s segment
+        list is a prefix of ``v_to``'s (no compaction crossed), every key
+        whose merged state can differ appears in the segments ``v_to``
+        appended, so the candidate key set is read from ONLY those
+        parquet files (manifest diff — the base is never scanned for
+        candidates) and both views are semi-joined down to it before the
+        full-outer compare. A 10^10-row frontier yields a round-sized
+        changelog job.
+
+        Fallback — when compaction rewrote the segment lineage between
+        the two versions (or either manifest was expired, which raises
+        from manifest()), the diff is the full-outer join of the two
+        merged views with unchanged keys filtered out; correct at any
+        lineage, linear in the frontier.
+
+        Reference: Crunchy has no change feed at all (Mongo upserts in
+        place, pipelines.py); north_rule's snapshot-checkpointed frontier
+        makes downstream incremental consumers (recrawl schedulers,
+        index refreshers) a manifest diff instead of a table scan."""
+        import os as _os
+
+        if v_to is None:
+            v_to = self.store.current_version()
+        from_segs = self.store.manifest(v_from)["tables"].get("frontier", [])
+        to_segs = self.store.manifest(v_to)["tables"].get("frontier", [])
+        cols = ["sha_int", "url_canon", "host", "status", "state_round"]
+        before = self.frontier_view(version=v_from).select(*cols)
+        after = self.frontier_view(version=v_to).select(*cols)
+        prefix = len(from_segs) <= len(to_segs) and (
+            to_segs[: len(from_segs)] == from_segs
+        )
+        if prefix:
+            new_segs = to_segs[len(from_segs):]
+            if not new_segs:  # identical segment lists: empty changelog
+                return self._changelog_join(before.limit(0), after.limit(0))
+            keys = (
+                self.spark.read.parquet(
+                    *[_os.path.join(self.store.root, p) for p in new_segs]
+                )
+                .select("sha_int")
+                .distinct()
+            )
+            seg_counts = [
+                c
+                for p, c in zip(
+                    to_segs,
+                    self.store.segment_rows("frontier", version=v_to),
+                )
+                if p in set(new_segs)
+            ]
+            n_delta = (
+                sum(seg_counts)
+                if all(c is not None for c in seg_counts)
+                else None
+            )
+            if n_delta is not None and n_delta <= self.BROADCAST_DELTA_MAX:
+                keys = F.broadcast(keys)
+            before = before.join(keys, "sha_int", "left_semi")
+            after = after.join(keys, "sha_int", "left_semi")
+        return self._changelog_join(before, after)
+
+    @staticmethod
+    def _changelog_join(before: DataFrame, after: DataFrame) -> DataFrame:
+        b = before.select(
+            "sha_int",
+            F.col("status").alias("old_status"),
+            F.col("state_round").alias("old_state_round"),
+        )
+        a = after.select(
+            "sha_int",
+            "url_canon",
+            "host",
+            F.col("status").alias("new_status"),
+            F.col("state_round").alias("new_state_round"),
+        )
+        j = b.join(a, "sha_int", "full_outer")
+        change = (
+            F.when(F.col("old_status").isNull(), F.lit("insert"))
+            # defensive: the engine never deletes frontier keys, but a
+            # changelog that silently drops a delete would be wrong
+            .when(F.col("new_status").isNull(), F.lit("delete"))
+            .when(
+                (F.col("old_status") != F.col("new_status"))
+                | (F.col("old_state_round") != F.col("new_state_round")),
+                F.lit("update"),
+            )
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                "sha_int",
+                "url_canon",
+                "host",
+                "old_status",
+                "new_status",
+                "change",
+            )
+        )
 
     # ------------------------------------------------------------------
     def host_census_view(self) -> DataFrame:

@@ -100,3 +100,69 @@ def test_engine_expiry_bounds_store(spark, tmp_path):
     eng2 = CrawlEngine(spark, store, fx, CrawlConfig(round_seconds=1e6))
     assert eng2.items().count() == eng.items().count()
     assert store.load(spark, "frontier").count() > 0
+
+
+def _brute_changelog(eng, v_from, v_to):
+    """Independent reconstruction: full-outer diff of the two merged
+    views, computed entirely in the test."""
+    cols = ["sha_int", "status", "state_round"]
+    old = {r["sha_int"]: r for r in eng.frontier_view(version=v_from).select(*cols).collect()}
+    new = {r["sha_int"]: r for r in eng.frontier_view(version=v_to).select(*cols).collect()}
+    out = {}
+    for k, r in new.items():
+        if k not in old:
+            out[k] = ("insert", None, r["status"])
+        elif (old[k]["status"], old[k]["state_round"]) != (r["status"], r["state_round"]):
+            out[k] = ("update", old[k]["status"], r["status"])
+    for k, r in old.items():
+        if k not in new:
+            out[k] = ("delete", r["status"], None)
+    return out
+
+
+def test_frontier_changelog_matches_brute_diff(spark, unit_fixtures, tmp_path):
+    """Iceberg-CDC parity: the O(delta) manifest-diff fast path AND the
+    post-compaction fallback both reproduce the brute-force full-view
+    diff, across every committed version pair."""
+    from crunchy_spark.loop import CrawlConfig, CrawlEngine
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    eng = CrawlEngine(
+        spark,
+        store,
+        unit_fixtures,
+        CrawlConfig(round_seconds=1e6, compact_every=3, snapshot_keep_last=None),
+    )
+    eng.bootstrap(spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet"))
+    versions = [store.current_version()]
+    for _ in range(5):
+        if eng.run_round() is None:
+            break
+        versions.append(store.current_version())
+    assert len(versions) >= 4
+
+    def segs(v):
+        return store.manifest(v)["tables"]["frontier"]
+
+    # the compact_every=3 run must exercise BOTH lineages
+    pairs = [(a, b) for i, a in enumerate(versions) for b in versions[i + 1:]]
+    prefix_pairs = [
+        (a, b) for a, b in pairs if segs(b)[: len(segs(a))] == segs(a)
+    ]
+    broken_pairs = [
+        (a, b) for a, b in pairs if segs(b)[: len(segs(a))] != segs(a)
+    ]
+    assert prefix_pairs and broken_pairs
+    for a, b in prefix_pairs + broken_pairs:
+        got = {
+            r["sha_int"]: (r["change"], r["old_status"], r["new_status"])
+            for r in eng.frontier_changelog(a, b).collect()
+        }
+        assert got == _brute_changelog(eng, a, b), (a, b)
+    # the engine never deletes keys and every changed row carries its
+    # identity columns
+    some = eng.frontier_changelog(versions[0], versions[-1]).collect()
+    assert some and all(r["change"] in ("insert", "update") for r in some)
+    assert all(r["url_canon"] and r["host"] for r in some)
+    # identical versions -> empty changelog
+    assert eng.frontier_changelog(versions[-1], versions[-1]).count() == 0
