@@ -105,3 +105,21 @@ def test_lang_confusion_shares_complete(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_batch78_oracles_at_driver_scale(spark):
+    """Driver-gate mirror at sf0.01 for batches VII+VIII (the pytest
+    oracle suite runs at sf0.001; ties/caps can differ between scales)."""
+    from crunchy_spark.queries import ORACLES
+    from tests.oracle_util import compare, duck_conn
+
+    sf01 = "/root/testdata/sf0.01"
+    con = duck_conn(sf01)
+    for name in (
+        "image_header_sniff",
+        "surt_url_index",
+        "warc_offset_index",
+        "etag_revalidate_plan",
+        "lang_confusion",
+    ):
+        compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
