@@ -274,6 +274,41 @@ def stream_crawl(
     return stream.start()
 
 
+def stream_fetch_log(
+    spark: SparkSession, store_root: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Live CDC feed over the engine's fetch_log: a file-source stream on
+    the snapshot store's append-only fetch_log segments (one parquet dir
+    per committed round, never rewritten — compaction touches only
+    frontier/bloom/host_census, expire_snapshots never collects segments
+    still referenced by live manifests). Downstream ops monitors consume
+    every fetch outcome exactly once via the stream checkpoint, without
+    ever re-scanning history — the streaming twin of
+    CrawlEngine.frontier_changelog's batch incremental read.
+
+    Rows within a micro-batch carry fetch_seq, so order-sensitive
+    consumers can sort per batch; order-insensitive aggregations (see
+    fetch_log_monitor) need nothing."""
+    import os as _os
+
+    from . import schemas
+
+    reader = spark.readStream.schema(schemas.FETCH_LOG)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_os.path.join(store_root, "data", "fetch_log", "v*"))
+
+
+def fetch_log_monitor(log_stream: DataFrame) -> DataFrame:
+    """Ops monitor over the fetch_log stream: running per-(host, status)
+    outcome counts — the dashboard the reference reads from RabbitMQ
+    management + Mongo counts (queue-depth probe S17), here one
+    order-insensitive streaming aggregation (complete/update mode)."""
+    return log_stream.groupBy("host", "status").agg(
+        F.count("*").alias("n"), F.max("fetch_seq").alias("last_seq")
+    )
+
+
 def read_kafka_items(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame | None:
     """S13: Kafka source (legacy path, kafka/consumer.py:40-58). Needs the
     spark-sql-kafka jar on the classpath; returns None when absent."""
