@@ -57,6 +57,10 @@ _PRIORITY = [
     "json_extract_props",
     "orders_page_offset",
     # changed or added in round 3
+    "redirect_resolve",
+    "host_ip_politeness",
+    "zero_shot_label_match",
+    "surt_prefix_lookup",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

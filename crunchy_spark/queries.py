@@ -7123,3 +7123,431 @@ ORACLES["lang_confusion"] = f"""
            round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS share_of_lang
     FROM agg
     """
+
+
+# ===========================================================================
+# K. Round-3 continuation: redirect resolution, per-IP politeness,
+#    zero-shot prototype matching, SURT index lookup
+# ===========================================================================
+# Deterministic redirect edges over the documents universe (the corpus
+# carries no redirect table, so both engines derive the SAME functional
+# graph from doc_id arithmetic — the _PII_AUG_SQL discipline):
+#   doc_id % 5 in (1,2,3)            -> doc_id - 1   (chains, depth 1..3)
+#   doc_id % 10 = 4 and id+5 <= max  -> doc_id + 5   (2-cycle, one half)
+#   doc_id % 10 = 9                  -> doc_id - 5   (2-cycle, other half)
+#   doc_id % 5 = 0                   -> terminal page (no out-edge)
+# Every src has at most ONE out-edge (the rules are disjoint), so the
+# edge set is a functional graph: chains end at a terminal, the %10∈{4,9}
+# rows form 2-cycles (redirect loops a crawler must detect and drop).
+REDIRECT_MAX_HOPS = 8  # designed max real chain = 3; cap bounds the walk
+
+
+def _redirect_edges(docs: DataFrame) -> DataFrame:
+    """(src, dst) redirect edges derived from doc_id arithmetic (rules
+    above). mx rides a 1-row broadcast so the boundary rule (the d+5
+    half-cycle needs its partner to exist) never re-scans the corpus."""
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    d = docs.crossJoin(F.broadcast(mx))
+    dst = (
+        F.when(F.col("doc_id") % 5 < 4, F.col("doc_id") - 1)  # %5 in 1,2,3 (src-filtered)
+        .when(
+            (F.col("doc_id") % 10 == 4) & (F.col("doc_id") + 5 <= F.col("mx")),
+            F.col("doc_id") + 5,
+        )
+        .when(F.col("doc_id") % 10 == 9, F.col("doc_id") - 5)
+    )
+    return (
+        d.filter(
+            (F.col("doc_id") % 5).isin(1, 2, 3)
+            | ((F.col("doc_id") % 10 == 4) & (F.col("doc_id") + 5 <= F.col("mx")))
+            | (F.col("doc_id") % 10 == 9)
+        )
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+    )
+
+
+_REDIRECT_EDGE_SQL = """
+    SELECT doc_id AS src,
+           CASE WHEN doc_id % 5 IN (1, 2, 3) THEN doc_id - 1
+                WHEN doc_id % 10 = 4 AND doc_id + 5 <= mx.mx THEN doc_id + 5
+                WHEN doc_id % 10 = 9 THEN doc_id - 5 END AS dst
+    FROM documents CROSS JOIN (SELECT max(doc_id) AS mx FROM documents) mx
+    WHERE doc_id % 5 IN (1, 2, 3)
+       OR (doc_id % 10 = 4 AND doc_id + 5 <= mx.mx)
+       OR doc_id % 10 = 9
+"""
+
+
+@register(
+    "redirect_resolve",
+    f"""
+    WITH RECURSIVE e AS ({_REDIRECT_EDGE_SQL}),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN e ON w.cur = e.src
+      WHERE w.hops < {REDIRECT_MAX_HOPS}),
+    term AS (SELECT w.src, w.cur, w.hops
+             FROM walk w LEFT JOIN e ON w.cur = e.src
+             WHERE e.src IS NULL)
+    SELECT d.doc_id,
+           CASE WHEN e0.src IS NULL THEN 'final'
+                WHEN t.src IS NOT NULL THEN 'redirect'
+                ELSE 'loop' END AS status,
+           CASE WHEN e0.src IS NULL THEN d.doc_id ELSE t.cur END AS final_id,
+           CASE WHEN e0.src IS NULL THEN 0 ELSE t.hops END AS n_hops
+    FROM documents d
+    LEFT JOIN e e0 ON d.doc_id = e0.src
+    LEFT JOIN term t ON d.doc_id = t.src
+    """,
+)
+def redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution over a functional redirect graph:
+    every page resolves to its FINAL landing page with the exact hop
+    count, and redirect LOOPS are detected and flagged (status='loop',
+    null final) — the batch form of what a fetcher does serially per
+    request. The reference crawls through scrapy, whose default
+    RedirectMiddleware follows each chain request-at-a-time and aborts
+    on cycles (CrunchyCrawler/settings.py sets no REDIRECT_* override,
+    so the scrapy defaults apply); at 10^10-URL scale the frontier
+    instead resolves ALL chains set-at-a-time before scheduling, so the
+    fetch budget is never spent re-walking known 301 hops and loop URLs
+    never enter the queue.
+
+    Plan shape: pointer DOUBLING, not step-at-a-time walking —
+    ceil(log2({REDIRECT_MAX_HOPS})) = 3 self-join rounds resolve every
+    chain up to {REDIRECT_MAX_HOPS} hops (designed max = 3), each round
+    one equi-join keyed on the current target, mappings
+    localCheckpoint'd per round so the plan stays O(1) in rounds (the
+    _connected_components discipline, applied to a DIRECTED functional
+    graph with exact hop accounting: hops add across a jump). Cycle
+    rows can never reach a terminal; they are flagged afterward by one
+    semi-join of the final target against the source set — no
+    visited-set state, no driver loop over rows. The DuckDB oracle
+    walks the SAME edge SQL with a recursive CTE capped at
+    {REDIRECT_MAX_HOPS} hops, so the hash-match proves chains, hop
+    counts, AND loop flags."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = _redirect_edges(docs).localCheckpoint()  # materialized: reused per round
+    m = e.select("src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops"))
+    for _ in range(3):  # doubling: resolves chains up to 2^3 = REDIRECT_MAX_HOPS
+        j = m.select(
+            F.col("src").alias("jsrc"),
+            F.col("cur").alias("jcur"),
+            F.col("hops").alias("jhops"),
+        )
+        m = (
+            m.join(j, m["cur"] == j["jsrc"], "left")
+            .select(
+                "src",
+                F.coalesce("jcur", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("jhops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    srcs = e.select(F.col("src").alias("cur")).distinct()
+    resolved = m.join(srcs, "cur", "left_anti")  # cycle rows never terminate
+    return (
+        docs.join(e.select("src").withColumnRenamed("src", "doc_id").distinct()
+                  .withColumn("_has_edge", F.lit(True)), "doc_id", "left")
+        .join(
+            resolved.select(
+                F.col("src").alias("doc_id"),
+                F.col("cur").alias("_final"),
+                F.col("hops").alias("_hops"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("_has_edge").isNull(), F.lit("final"))
+            .when(F.col("_final").isNotNull(), F.lit("redirect"))
+            .otherwise(F.lit("loop"))
+            .alias("status"),
+            F.when(F.col("_has_edge").isNull(), F.col("doc_id"))
+            .otherwise(F.col("_final"))
+            .alias("final_id"),
+            F.when(F.col("_has_edge").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.col("_hops"))
+            .alias("n_hops"),
+        )
+    )
+
+
+N_VHOSTS = 200  # customer-derived virtual hosts
+N_IPS = 24  # physical servers those vhosts resolve to
+IP_BUDGET = 720  # fetch slots per IP per round (politeness_schedule's 720/host)
+
+
+@register(
+    "host_ip_politeness",
+    f"""
+    WITH h AS (SELECT 'h' || (c_custkey % {N_VHOSTS})::VARCHAR AS host,
+                      count(*) AS pending
+               FROM customer GROUP BY 1),
+    hi AS (SELECT host, pending,
+                  '10.0.0.' || ({_MD5_INT_SQL.format(c="host")} % {N_IPS})::VARCHAR
+                    AS ip
+           FROM h),
+    g AS (SELECT *, sum(pending) OVER (PARTITION BY ip) AS ip_pending,
+                 count(*) OVER (PARTITION BY ip) AS n_hosts_on_ip
+          FROM hi),
+    b AS (SELECT *, least({IP_BUDGET}, ip_pending) AS give FROM g),
+    f AS (SELECT *, (give * pending) // ip_pending AS floor_alloc,
+                 (give * pending) % ip_pending AS rem
+          FROM b),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY ip ORDER BY rem DESC, host) AS rk,
+                 give - sum(floor_alloc) OVER (PARTITION BY ip) AS leftover
+          FROM f)
+    SELECT host, ip, n_hosts_on_ip, pending,
+           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r
+    """,
+)
+def host_ip_politeness(spark, sf_dir):
+    """Per-IP politeness pooling: virtual hosts that resolve to the
+    same server must SHARE one politeness budget — hammering 50 vhosts
+    of one box at 1 req/s each is still 50 req/s against that box.
+    Scrapy exposes exactly this knob (CONCURRENT_REQUESTS_PER_IP,
+    reference CrunchyCrawler/settings.py:133 — present but commented,
+    so the reference throttles per-domain only); at 10^10-URL scale
+    IP-level pooling is what keeps a crawler polite against CDNs and
+    shared hosting. Hosts map to {N_IPS} servers by a deterministic
+    md5 "DNS" (cross-engine identical); each IP's {IP_BUDGET}-slot
+    round budget (capped by what's actually pending) splits across its
+    vhosts by largest-remainder on pending counts — integer arithmetic
+    end-to-end, so allocations are bit-identical across engines and
+    cluster sizes, and sum(alloc) per IP == min({IP_BUDGET}, pending)
+    exactly (pinned in pytest).
+
+    Plan shape: one map-side-combinable (host) agg collapses the corpus
+    to {N_VHOSTS} rows; every window after is PARTITIONED BY ip (the
+    crawl_budget_alloc discipline made skew-safe: no global window, no
+    SinglePartition exchange — at 10^10 URLs the post-agg table is
+    host-cardinality, and each IP's rank runs over only its own
+    vhosts)."""
+    c = _t(spark, sf_dir, "customer")
+    h = c.groupBy(
+        F.concat(F.lit("h"), (F.col("c_custkey") % N_VHOSTS).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count("*").alias("pending"))
+    hi = h.select(
+        "host",
+        "pending",
+        F.concat(F.lit("10.0.0."), (_md5_int(F.col("host")) % N_IPS).cast("string")).alias(
+            "ip"
+        ),
+    )
+    wip = Window.partitionBy("ip")
+    g = hi.select(
+        "*",
+        F.sum("pending").over(wip).alias("ip_pending"),
+        F.count("*").over(wip).alias("n_hosts_on_ip"),
+    ).withColumn("give", F.least(F.lit(IP_BUDGET).cast("long"), F.col("ip_pending")))
+    f = g.select(
+        "*",
+        F.expr("(give * pending) div ip_pending").alias("floor_alloc"),
+        ((F.col("give") * F.col("pending")) % F.col("ip_pending")).alias("rem"),
+    )
+    r = f.select(
+        "*",
+        F.row_number().over(Window.partitionBy("ip").orderBy(F.desc("rem"), "host")).alias("rk"),
+        (F.col("give") - F.sum("floor_alloc").over(wip)).alias("leftover"),
+    )
+    return r.select(
+        "host",
+        "ip",
+        "n_hosts_on_ip",
+        "pending",
+        (
+            F.col("floor_alloc") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+EMB_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+@register(
+    "zero_shot_label_match",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    cent AS (SELECT label AS ck, r.i, round(avg(v[r.i]), 6) AS cv
+             FROM e CROSS JOIN range(1, {EMB_DIM + 1}) r(i)
+             GROUP BY 1, 2),
+    carr AS (SELECT ck, list(cv ORDER BY i) AS c FROM cent GROUP BY ck),
+    s AS (SELECT vec_id, label, ck,
+                 round(list_dot_product(v, c)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))),
+                   6) AS cos
+          FROM e CROSS JOIN carr),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, ck) AS rk
+          FROM s)
+    SELECT p1.vec_id, p1.label, p1.ck AS pred_label, p1.cos AS cos_best,
+           round(p1.cos - p2.cos, 6) AS margin,
+           (p1.label = p1.ck) AS label_match
+    FROM r p1 JOIN r p2 ON p1.vec_id = p2.vec_id AND p2.rk = 2
+    WHERE p1.rk = 1
+    """,
+)
+def zero_shot_label_match(spark, sf_dir):
+    """CLIP-style zero-shot prototype matching: each class label gets a
+    PROTOTYPE embedding (the mean of its members — the stand-in for an
+    encoded class prompt, exactly how CLIP zero-shot classification
+    scores an image against K class-text embeddings), and every vector
+    is scored against all K prototypes by cosine; output = predicted
+    label (argmax), best score, top-2 MARGIN, and whether the
+    prediction matches the stored label. The margin column is the
+    confidence gate a multimodal curation pipeline thresholds on
+    (low-margin rows are ambiguous caption/image pairs; mismatched
+    high-margin rows are mislabels) — the evaluation/filter twin of
+    semdedup_prune's learned clusters, run against GIVEN labels.
+    Reference analog: none (the reference stores scraped categories
+    verbatim); this is the LLM-data extension the graft calls for.
+
+    Plan shape: prototypes come from one posexplode -> (label, dim)
+    map-side-combinable agg (output K x {EMB_DIM} ~ tiny); scoring
+    BROADCASTS the K prototype arrays against the corpus (no corpus
+    shuffle — K is class-cardinality, never data-sized); the
+    argmax+runner-up reduce to one map-side-combinable groupBy(vec_id)
+    collecting K structs per row. Centroids and cosines round to 6dp
+    in both engines so float summation order can't flip an argmax
+    (the semdedup_prune discipline); ties break on label ascending via
+    the struct sort order."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "val"))
+        .groupBy(F.col("label").alias("ck"), "i")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    carr = cent.groupBy("ck").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    j = e.crossJoin(F.broadcast(carr))
+    cos = F.round(
+        dot(F.col("v"), F.col("c"))
+        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("c"), F.col("c")))),
+        6,
+    )
+    scored = j.select("vec_id", "label", (-cos).alias("ncos"), "ck")
+    top2 = (
+        scored.groupBy("vec_id", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("ncos", "ck"))).alias("a"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("a")[0]["ck"].alias("pred_label"),
+            (-F.col("a")[0]["ncos"]).alias("cos_best"),
+            F.round(F.col("a")[1]["ncos"] - F.col("a")[0]["ncos"], 6).alias("margin"),
+            (F.col("label") == F.col("a")[0]["ck"]).alias("label_match"),
+        )
+    )
+    return top2
+
+
+SURT_LOOKUP_PREFIX = "com,crunchbase,s1,h7)"  # all URLs of host h7.s1.crunchbase.com
+# Paths in the corpus are ASCII below '~', so every key with prefix P
+# lies in [P, P || '~'] — the manifest range test below is a superset
+# of the true matches, and the exact starts_with filter restores
+# precision on just the touched blocks.
+_SURT_HI = SURT_LOOKUP_PREFIX + "~"
+
+
+@register(
+    "surt_prefix_lookup",
+    f"""
+    WITH u AS (
+      SELECT o_orderkey AS seq,
+             'h' || (o_custkey % 40)::VARCHAR || '.s'
+             || (o_orderkey % 3)::VARCHAR || '.crunchbase.com' AS host,
+             '/organization/co-' || (o_orderkey % 3000)::VARCHAR AS path
+      FROM orders),
+    s AS (SELECT seq,
+                 array_to_string(list_reverse(string_split(host, '.')), ',')
+                 || ')' || path AS surt_key
+          FROM u),
+    r AS (SELECT surt_key, seq,
+                 row_number() OVER (ORDER BY surt_key, seq) AS rnk
+          FROM s),
+    blk AS (SELECT *, (rnk - 1) // {SURT_BLOCK} AS block_id FROM r),
+    manifest AS (SELECT block_id, min(surt_key) AS key_min,
+                        max(surt_key) AS key_max
+                 FROM blk GROUP BY 1),
+    cand AS (SELECT block_id FROM manifest
+             WHERE key_max >= '{SURT_LOOKUP_PREFIX}'
+               AND key_min <= '{_SURT_HI}')
+    SELECT b.seq, b.surt_key, b.block_id
+    FROM blk b JOIN cand USING (block_id)
+    WHERE starts_with(b.surt_key, '{SURT_LOOKUP_PREFIX}')
+    """,
+)
+def surt_prefix_lookup(spark, sf_dir):
+    """The READ side of surt_url_index: answer "every URL under this
+    host/domain prefix" by pruning with the block manifest FIRST — only
+    blocks whose [key_min, key_max] range can intersect the prefix
+    interval are scanned, then the exact starts_with filter runs on
+    just those rows. This is the CDX cluster.idx lookup Common Crawl
+    serves per prefix query, and on the north_rule's Iceberg frontier
+    it is file-skipping on the SURT sort key: the manifest range test
+    here is exactly the min/max-stats pruning an Iceberg scan does when
+    rows are written in surt_url_index's block order (at 10^10 URLs the
+    difference is touching ~1 block vs scanning the frontier).
+
+    Plan shape: index side reuses the parallel total order
+    (global_fifo_rank — no SinglePartition window); the manifest is
+    block-cardinality and its qualifying block_ids BROADCAST back onto
+    the indexed rows (a broadcast semi-join standing in for scan-time
+    file pruning); the exact prefix predicate is a codegen'd
+    starts_with on the surviving rows only. tests assert the candidate
+    block count is a strict subset of the manifest (the pruning
+    actually prunes)."""
+    from .frontier import global_fifo_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    host = F.concat(
+        F.lit("h"),
+        (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".s"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit(".crunchbase.com"),
+    )
+    path = F.concat(
+        F.lit("/organization/co-"), (F.col("o_orderkey") % 3000).cast("string")
+    )
+    s = o.select(
+        F.col("o_orderkey").alias("seq"),
+        F.concat(
+            F.concat_ws(",", F.reverse(F.split(host, "\\."))), F.lit(")"), path
+        ).alias("surt_key"),
+    )
+    blk = global_fifo_rank(s, ("surt_key", "seq"), "rnk").withColumn(
+        "block_id", F.floor((F.col("rnk") - 1) / SURT_BLOCK)
+    )
+    manifest = blk.groupBy("block_id").agg(
+        F.min("surt_key").alias("key_min"), F.max("surt_key").alias("key_max")
+    )
+    cand = manifest.filter(
+        (F.col("key_max") >= SURT_LOOKUP_PREFIX) & (F.col("key_min") <= _SURT_HI)
+    ).select("block_id")
+    return (
+        blk.join(F.broadcast(cand), "block_id")
+        .filter(F.col("surt_key").startswith(SURT_LOOKUP_PREFIX))
+        .select("seq", "surt_key", "block_id")
+    )
