@@ -61,6 +61,8 @@ _PRIORITY = [
     "host_ip_politeness",
     "zero_shot_label_match",
     "surt_prefix_lookup",
+    "caption_lm_fluency",
+    "quality_ks_drift",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

@@ -98,6 +98,14 @@ HEADLINE = [
     "warc_offset_index",
     "etag_revalidate_plan",
     "lang_confusion",
+    # round 3 batch IX: redirects, per-IP politeness, zero-shot, index lookup
+    "redirect_resolve",
+    "host_ip_politeness",
+    "zero_shot_label_match",
+    "surt_prefix_lookup",
+    # round 3 batch X: LM transfer scoring and distribution-drift monitor
+    "caption_lm_fluency",
+    "quality_ks_drift",
 ]
 
 

@@ -7551,3 +7551,265 @@ def surt_prefix_lookup(spark, sf_dir):
         .filter(F.col("surt_key").startswith(SURT_LOOKUP_PREFIX))
         .select("seq", "surt_key", "block_id")
     )
+
+
+CAPTION_LM_FLOOR = -6.2  # mean ln p below this flags a caption as gibberish
+# (at the committed fixture this isolates the 'photo'-suffixed near-dup
+# caption group, whose extra OOV token drags the mean below the floor)
+
+
+@register(
+    "caption_lm_fluency",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_RAW_SQL} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    ufr AS (SELECT tok, count(*) AS ufreq FROM uni GROUP BY tok),
+    tot AS (SELECT sum(ufreq)::DOUBLE AS n_total,
+                   count(*)::DOUBLE AS v FROM ufr),
+    b AS (SELECT doc_id,
+                 unnest(toks[1:len(toks) - 1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM t WHERE len(toks) >= 2),
+    bfr AS (SELECT w1, w2, count(*) AS bfreq FROM b GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(bfreq)::DOUBLE AS cfreq FROM bfr GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    snip AS (SELECT doc_id,
+                    array_to_string(({_TOKS_RAW_SQL})[1:5], ' ') AS sn
+             FROM documents),
+    cap AS (SELECT c.image_id,
+                   string_split_regex(
+                     lower(c.caption) || ' ' || snip.sn, '\\s+') AS toks
+            FROM read_parquet('{_IMAGES_META}') c
+            CROSS JOIN nd
+            JOIN snip ON snip.doc_id
+                         = CAST(substr(c.image_id, 4) AS BIGINT) % nd.n),
+    cb AS (SELECT image_id,
+                  unnest(toks[1:len(toks) - 1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM cap WHERE len(toks) >= 2),
+    s AS (SELECT cb.image_id,
+                 ln({BIGRAM_LAMBDA} * coalesce(bfr.bfreq / ctx.cfreq, 0)
+                    + {1 - BIGRAM_LAMBDA}
+                      * (coalesce(ufr.ufreq, 0) + 1) / (tot.n_total + tot.v))
+                   AS lp
+          FROM cb LEFT JOIN bfr USING (w1, w2)
+                  LEFT JOIN ctx USING (w1)
+                  LEFT JOIN ufr ON cb.w2 = ufr.tok
+                  CROSS JOIN tot)
+    SELECT image_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logprob,
+           (round(avg(lp), 4) < {CAPTION_LM_FLOOR}) AS is_gibberish
+    FROM s GROUP BY image_id
+    """,
+)
+def caption_lm_fluency(spark, sf_dir):
+    """Caption fluency via TRANSFER of the corpus bigram LM: the LM is
+    fit on the documents corpus (same interpolated-bigram machinery as
+    bigram_logprob_quality), then applied to the image CAPTIONS — the
+    train/apply split a production multimodal pipeline actually runs
+    (KenLM fit on a reference corpus, scoring candidate alt-text to
+    drop keyword-stuffed or gibberish captions before CLIP training).
+    The synthetic caption bank shares no vocabulary with the reference
+    corpus, so both engines deterministically append a 5-token snippet
+    of the caption's idx-mapped document first (the _PII_AUG_SQL
+    augmentation discipline) — the scored text then mixes in-domain
+    and OOV tokens exactly like real alt-text, and scores vary with
+    the snippet drawn. Because the caption side is still partly a
+    DIFFERENT corpus, unseen tokens and unseen
+    contexts are expected: the unigram backoff is Laplace-smoothed over
+    the reference vocabulary ((ufreq+1)/(n_total+V), the dsir_select
+    smoothing) and missing bigram/context terms contribute zero to the
+    interpolation, so every caption scores finitely — no inner-join
+    token dropout on the APPLY side (left joins, mirrored in the
+    oracle). Reference analog: none (the reference stores scraped text
+    verbatim); this is the LLM-data extension the graft calls for.
+
+    Scale shape: LM tables are map-side-combinable aggs over the
+    reference corpus, built once; scoring joins are keyed on
+    token/bigram and deliberately NOT broadcast (vocab grows with the
+    reference corpus — Heap's law); the caption side shuffles only its
+    bigram instances (3-4 per caption). Per-caption agg is map-side
+    combinable; the flag compares the 4dp-ROUNDED mean in both engines
+    (the bigram_logprob_quality ulp discipline)."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        .localCheckpoint()
+    )
+    ufr = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ufreq"))
+    )
+    tot = ufr.agg(
+        F.sum("ufreq").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v"),
+    )
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bfr = big.groupBy("w1", "w2").agg(F.count("*").alias("bfreq"))
+    ctx = bfr.groupBy("w1").agg(F.sum("bfreq").cast("double").alias("cfreq"))
+    nd = toks.agg(F.count("*").alias("n"))
+    snip = toks.select(
+        F.col("doc_id").alias("sdoc"),
+        F.array_join(F.slice("toks", 1, 5), " ").alias("sn"),
+    )
+    cap = (
+        spark.read.parquet(_IMAGES_META)
+        .select(
+            "image_id",
+            F.substring("image_id", 4, 20).cast("long").alias("idx"),
+            "caption",
+        )
+        .crossJoin(F.broadcast(nd))
+        .join(snip, F.expr("idx % n") == F.col("sdoc"))
+        .select(
+            "image_id",
+            F.split(
+                F.concat(F.lower("caption"), F.lit(" "), F.col("sn")), r"\s+"
+            ).alias("toks"),
+        )
+    )
+    cb = (
+        cap.filter(F.size("toks") >= 2)
+        .select(
+            "image_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("image_id", "bg.w1", "bg.w2")
+    )
+    lp = F.log(
+        F.lit(BIGRAM_LAMBDA)
+        * F.coalesce(F.col("bfreq") / F.col("cfreq"), F.lit(0.0))
+        + F.lit(1 - BIGRAM_LAMBDA)
+        * (F.coalesce(F.col("ufreq"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("v"))
+    )
+    avg_lp = F.round(F.avg("lp"), 4)
+    return (
+        cb.join(bfr, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(ufr.withColumnRenamed("tok", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("image_id", lp.alias("lp"))
+        .groupBy("image_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+            (avg_lp < CAPTION_LM_FLOOR).alias("is_gibberish"),
+        )
+    )
+
+
+KS_DRIFT_TAU = 0.1  # KS statistic above this flags a source as drifted
+
+
+@register(
+    "quality_ks_drift",
+    f"""
+    WITH q AS ({{QSCORE_SQL}}),
+    sc AS (SELECT q.doc_id, d.source, q.qscore
+           FROM q JOIN documents d ON q.doc_id = d.doc_id),
+    n AS (SELECT source, count(*) AS n_src FROM sc GROUP BY 1),
+    tot AS (SELECT count(*)::DOUBLE AS n_all FROM sc),
+    pts AS (SELECT qscore, source, count(*) AS c FROM sc GROUP BY 1, 2),
+    grid AS (SELECT g.qscore, s.source, coalesce(p.c, 0) AS c
+             FROM (SELECT DISTINCT qscore FROM pts) g
+             CROSS JOIN (SELECT DISTINCT source FROM pts) s
+             LEFT JOIN pts p ON p.qscore = g.qscore AND p.source = s.source),
+    cum2 AS (SELECT g.qscore, g.source,
+                    sum(g.c) OVER (PARTITION BY g.source ORDER BY g.qscore)
+                      AS cum_s,
+                    sum(g.c) OVER (ORDER BY g.qscore
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_all
+             FROM grid g),
+    ks AS (SELECT c2.source,
+                  max(abs(c2.cum_s / n.n_src
+                          - (c2.cum_all - c2.cum_s) / (tot.n_all - n.n_src)))
+                    AS ks_raw
+           FROM cum2 c2 JOIN n USING (source) CROSS JOIN tot
+           GROUP BY c2.source, n.n_src, tot.n_all)
+    SELECT source, round(ks_raw, 4) AS ks_stat,
+           (round(ks_raw, 4) > {KS_DRIFT_TAU}) AS drifted
+    FROM ks
+    """.replace("{QSCORE_SQL}", ORACLES["quality_score"]),
+)
+def quality_ks_drift(spark, sf_dir):
+    """Distribution-drift monitor: the exact two-sample Kolmogorov-
+    Smirnov statistic of each source's quality-score distribution
+    against the REST of the corpus — KS = max over score points of
+    |CDF_source - CDF_rest|. This is the pipeline-health check a
+    continuously-fed crawl corpus needs: a source whose quality
+    distribution drifts (new spam template, broken extractor, changed
+    site chrome) shows up here rounds before it degrades a trained
+    model. Composes the registered quality_score operator verbatim
+    (its oracle SQL is a CTE — the curation_keep_list discipline), so
+    the monitor can never drift from the score it audits.
+
+    Scale shape: the corpus collapses to a (qscore, source) count
+    table by one map-side-combinable agg — qscore is 4dp-rounded so
+    the grid is BOUNDED (score-cardinality x sources, thousands of
+    rows at any corpus size), and every window after runs over that
+    bounded grid, never the corpus (the post-aggregation-window
+    reasoning of corpus_mix_temperature; the dense source-grid
+    cross join makes each source's step CDF defined at every global
+    score point). Exact KS by construction — at truly unbounded score
+    cardinality the documented swap is binning the score to a fixed
+    grid first, the approx_percentile trade."""
+    q = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "qscore")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sc = q.join(d, "doc_id")
+    pts = sc.groupBy("qscore", "source").agg(F.count("*").alias("c"))
+    pts = pts.localCheckpoint()  # bounded grid: feeds grid, totals, counts
+    n = pts.groupBy("source").agg(F.sum("c").alias("n_src"))
+    tot = pts.agg(F.sum("c").cast("double").alias("n_all"))
+    grid = (
+        pts.select("qscore")
+        .distinct()
+        .crossJoin(pts.select("source").distinct())
+        .join(pts, ["qscore", "source"], "left")
+        .fillna(0, subset=["c"])
+    )
+    wsrc = Window.partitionBy("source").orderBy("qscore")
+    wall = Window.orderBy("qscore").rangeBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "qscore",
+        "source",
+        F.sum("c").over(wsrc).alias("cum_s"),
+        F.sum("c").over(wall).alias("cum_all"),
+    )
+    ks = (
+        cum.join(n, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") / F.col("n_src")
+                    - (F.col("cum_all") - F.col("cum_s"))
+                    / (F.col("n_all") - F.col("n_src"))
+                )
+            ).alias("ks_raw")
+        )
+    )
+    return ks.select(
+        "source",
+        F.round("ks_raw", 4).alias("ks_stat"),
+        (F.round("ks_raw", 4) > KS_DRIFT_TAU).alias("drifted"),
+    )

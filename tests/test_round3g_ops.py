@@ -111,3 +111,47 @@ def test_surt_prefix_lookup_matches_bruteforce_and_prunes(spark):
     assert touched < n_blocks, (touched, n_blocks)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_caption_lm_fluency_flags_exactly_the_photo_group(spark):
+    rows = QUERIES["caption_lm_fluency"](spark, SF).collect()
+    assert len(rows) == 256
+    import pyarrow.parquet as pq
+    from crunchy_spark.queries import _IMAGES_META
+
+    caps = dict(
+        zip(
+            pq.read_table(_IMAGES_META, columns=["image_id", "caption"])
+            .to_pandas()["image_id"],
+            pq.read_table(_IMAGES_META, columns=["image_id", "caption"])
+            .to_pandas()["caption"],
+        )
+    )
+    # the flag exactly recovers the designed near-dup caption group
+    # (trailing OOV 'photo' token drags the LM mean below the floor)
+    for r in rows:
+        assert r["is_gibberish"] == caps[r["image_id"]].endswith(" photo"), r
+    assert sum(r["is_gibberish"] for r in rows) == 36
+    # non-degenerate transfer scoring: snippets give caption-specific scores
+    assert len({r["avg_logprob"] for r in rows}) > 100
+
+
+def test_quality_ks_drift_matches_numpy_exact(spark):
+    import numpy as np
+
+    rows = {r["source"]: r["ks_stat"] for r in QUERIES["quality_ks_drift"](spark, SF).collect()}
+    q = {r["doc_id"]: r["qscore"] for r in QUERIES["quality_score"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append(q[d["doc_id"]])
+    all_scores = np.array([q[d["doc_id"]] for d in docs])
+    grid = np.unique(all_scores)
+    for src, vals in by_src.items():
+        a = np.array(vals)
+        rest = np.array([v for d in docs if d["source"] != src for v in [q[d["doc_id"]]]])
+        cdf_a = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+        cdf_r = np.searchsorted(np.sort(rest), grid, side="right") / len(rest)
+        ks = np.abs(cdf_a - cdf_r).max()
+        assert abs(round(ks, 4) - rows[src]) <= 1e-9, (src, ks, rows[src])
+    assert len(rows) == len(by_src)
