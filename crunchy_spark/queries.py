@@ -7782,7 +7782,7 @@ def quality_ks_drift(spark, sf_dir):
     grid = (
         pts.select("qscore")
         .distinct()
-        .crossJoin(pts.select("source").distinct())
+        .crossJoin(F.broadcast(pts.select("source").distinct()))
         .join(pts, ["qscore", "source"], "left")
         .fillna(0, subset=["c"])
     )

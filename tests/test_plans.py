@@ -223,3 +223,48 @@ def test_bigram_logprob_single_corpus_scan(spark):
     assert "BroadcastExchange" in plan, plan
     # post-checkpoint there is no documents re-scan at all
     assert plan.count("Scan parquet") == 0, plan
+
+
+# batch IX/X plan shapes: the scale claims in the docstrings, enforced
+SHAPES_R3G = [
+    # per-IP politeness: one corpus agg + ip-partitioned windows only
+    ("host_ip_politeness", 2, True, True),
+    # prototypes broadcast; corpus never shuffled beyond its aggs
+    ("zero_shot_label_match", 3, True, True),
+    # index + manifest prune: range-sort machinery, broadcast block ids
+    ("surt_prefix_lookup", 3, True, True),
+    # functional-graph doubling: bounded joins over checkpointed maps
+    ("redirect_resolve", 4, True, True),
+]
+
+
+@pytest.mark.parametrize("name,max_sh,no_cart,no_single", SHAPES_R3G)
+def test_r3g_plan_shapes(spark, name, max_sh, no_cart, no_single):
+    plan = _plan(spark, name)
+    assert _shuffles(plan) <= max_sh, plan
+    if no_cart:
+        assert "CartesianProduct" not in plan, plan
+    if no_single:
+        assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_caption_lm_fluency_no_cartesian_single_corpus_scan(spark):
+    """LM tables derive from ONE materialized tokenization of the
+    reference corpus; the only SinglePartition exchange is the 1-row
+    grand-total agg (pre-aggregated input), and no join degenerates to
+    a cartesian product."""
+    plan = _plan(spark, "caption_lm_fluency")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan  # captions fixture only
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_quality_ks_drift_windows_run_on_bounded_grid(spark):
+    """The corpus collapses to the (score, source) grid before any
+    window; the global cumulative window's SinglePartition exchange
+    therefore carries grid-cardinality rows (bounded by 4dp rounding),
+    never the corpus — and the dense grid is a broadcast expansion,
+    not a cartesian product."""
+    plan = _plan(spark, "quality_ks_drift")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
