@@ -63,6 +63,7 @@ _PRIORITY = [
     "surt_prefix_lookup",
     "caption_lm_fluency",
     "quality_ks_drift",
+    "sitemap_diff",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

@@ -106,6 +106,7 @@ HEADLINE = [
     # round 3 batch X: LM transfer scoring and distribution-drift monitor
     "caption_lm_fluency",
     "quality_ks_drift",
+    "sitemap_diff",
 ]
 
 

@@ -7813,3 +7813,108 @@ def quality_ks_drift(spark, sf_dir):
         F.round("ks_raw", 4).alias("ks_stat"),
         (F.round("ks_raw", 4) > KS_DRIFT_TAU).alias("drifted"),
     )
+
+
+def _sitemap_gen_sql(gen: int) -> str:
+    """DuckDB CTE body for sitemap snapshot ``gen`` (1 = yesterday,
+    2 = today). Generation 2 deterministically evolves generation 1:
+    page counts move from s%3+1 to s%4+1 (so hosts gain AND lose
+    pages), and hosts with s_suppkey%5==0 bump page 1's lastmod (a
+    content change with no URL change)."""
+    n = "s_suppkey % 3 + 2" if gen == 1 else "s_suppkey % 4 + 2"
+    mod = (
+        "'2026-05-0' || j::VARCHAR"
+        if gen == 1
+        else "CASE WHEN s_suppkey % 5 = 0 AND j = 1 THEN '2026-06-01'"
+        " ELSE '2026-05-0' || j::VARCHAR END"
+    )
+    return f"""
+      SELECT 'sup' || s_suppkey::VARCHAR || '.example.com' AS host,
+             'https://sup' || s_suppkey::VARCHAR || '.example.com/page/'
+               || j::VARCHAR AS url,
+             {mod} AS lastmod
+      FROM supplier CROSS JOIN LATERAL unnest(range(1, {n})) AS t(j)
+    """
+
+
+def _sitemap_gen_df(s: DataFrame, gen: int) -> DataFrame:
+    n = "s_suppkey % 3 + 1" if gen == 1 else "s_suppkey % 4 + 1"
+    j = F.explode(F.expr(f"sequence(1, {n})")).alias("j")
+    base = s.select("s_suppkey", j)
+    ks = F.col("s_suppkey").cast("string")
+    mod = F.concat(F.lit("2026-05-0"), F.col("j").cast("string"))
+    if gen == 2:
+        mod = F.when(
+            (F.col("s_suppkey") % 5 == 0) & (F.col("j") == 1), F.lit("2026-06-01")
+        ).otherwise(mod)
+    return base.select(
+        F.concat(F.lit("sup"), ks, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://sup"), ks, F.lit(".example.com/page/"),
+            F.col("j").cast("string"),
+        ).alias("url"),
+        mod.alias("lastmod"),
+    )
+
+
+@register(
+    "sitemap_diff",
+    f"""
+    WITH v1 AS ({_sitemap_gen_sql(1)}),
+    v2 AS ({_sitemap_gen_sql(2)})
+    SELECT coalesce(v1.host, v2.host) AS host,
+           coalesce(v1.url, v2.url) AS url,
+           v1.lastmod AS lastmod_prev, v2.lastmod AS lastmod_cur,
+           CASE WHEN v1.url IS NULL THEN 'added'
+                WHEN v2.url IS NULL THEN 'removed'
+                WHEN v1.lastmod <> v2.lastmod THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN v1.url IS NULL OR v1.lastmod <> v2.lastmod THEN 'fetch'
+                WHEN v2.url IS NULL THEN 'tombstone'
+                ELSE 'skip' END AS action
+    FROM v1 FULL OUTER JOIN v2 ON v1.host = v2.host AND v1.url = v2.url
+    """,
+)
+def sitemap_diff(spark, sf_dir):
+    """Incremental seed discovery: DIFF two sitemap generations into
+    the added / removed / changed / unchanged row set and the crawler
+    action each implies (fetch new+changed, tombstone removed, skip
+    unchanged) — the change-data-capture of sitemap polling. At
+    10^10-URL scale this diff IS the recrawl workload: a daily poll of
+    a billion sitemap entries yields a round-sized fetch list instead
+    of a full re-crawl (the frontier_changelog idea applied to the
+    DISCOVERY side; etag_revalidate_plan then gates the fetches that
+    remain). The reference has no sitemap path at all (seeds arrive
+    via POST /createCrawl, api/views.py:19-42). Generation 2 evolves
+    generation 1 deterministically in both engines: page counts move
+    from s%3+1 to s%4+1 (hosts both gain and lose pages) and every
+    5th host bumps page 1's lastmod.
+
+    Plan shape: one full outer join keyed on (host, url) — both sides
+    shuffle once on the join key and nothing else; statuses and
+    actions are pure projections. No windows, no corpus-sized
+    broadcast. Status mix (all four present) is pinned in pytest."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    v1 = _sitemap_gen_df(s, 1).withColumnRenamed("lastmod", "lastmod_prev")
+    v2 = _sitemap_gen_df(s, 2).withColumnRenamed("lastmod", "lastmod_cur")
+    j = v1.join(v2, ["host", "url"], "full_outer")
+    changed = (
+        F.col("lastmod_prev").isNotNull()
+        & F.col("lastmod_cur").isNotNull()
+        & (F.col("lastmod_prev") != F.col("lastmod_cur"))
+    )
+    status = (
+        F.when(F.col("lastmod_prev").isNull(), F.lit("added"))
+        .when(F.col("lastmod_cur").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    action = (
+        F.when(F.col("lastmod_prev").isNull() | changed, F.lit("fetch"))
+        .when(F.col("lastmod_cur").isNull(), F.lit("tombstone"))
+        .otherwise(F.lit("skip"))
+    )
+    return j.select(
+        "host", "url", "lastmod_prev", "lastmod_cur",
+        status.alias("status"), action.alias("action"),
+    )

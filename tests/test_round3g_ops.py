@@ -155,3 +155,24 @@ def test_quality_ks_drift_matches_numpy_exact(spark):
         ks = np.abs(cdf_a - cdf_r).max()
         assert abs(round(ks, 4) - rows[src]) <= 1e-9, (src, ks, rows[src])
     assert len(rows) == len(by_src)
+
+
+def test_sitemap_diff_statuses_and_actions(spark):
+    rows = QUERIES["sitemap_diff"](spark, SF).collect()
+    by_status = defaultdict(list)
+    for r in rows:
+        by_status[r["status"]].append(r)
+    # the designed evolution produces all four classes
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+    for r in by_status["added"]:
+        assert r["lastmod_prev"] is None and r["action"] == "fetch"
+    for r in by_status["removed"]:
+        assert r["lastmod_cur"] is None and r["action"] == "tombstone"
+    for r in by_status["changed"]:
+        assert r["lastmod_prev"] != r["lastmod_cur"] and r["action"] == "fetch"
+        assert r["url"].endswith("/page/1")  # only page 1 bumps lastmod
+    for r in by_status["unchanged"]:
+        assert r["lastmod_prev"] == r["lastmod_cur"] and r["action"] == "skip"
+    # the fetch list is round-sized: strictly smaller than the sitemap
+    n_fetch = sum(1 for r in rows if r["action"] == "fetch")
+    assert 0 < n_fetch < len(rows)
