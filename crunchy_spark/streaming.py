@@ -321,3 +321,128 @@ def read_kafka_items(spark: SparkSession, bootstrap: str, topic: str) -> DataFra
         )
     except Exception:
         return None
+
+
+def stream_sitemap_poll(
+    spark: SparkSession,
+    sitemap_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming sitemap poller — the continuous form of the
+    sitemap_diff batch operator (queries.py): watch a directory where
+    each arriving parquet file is a sitemap SNAPSHOT of (host, url,
+    lastmod) rows; per micro-batch, diff the snapshot against the
+    committed last-seen state and append only the CHANGE rows
+    (added / removed / changed + the fetch / tombstone / skip-free
+    action) to the sink — discovery becomes a round-sized change feed
+    instead of a daily re-crawl. ``maxFilesPerTrigger=1`` pins one
+    snapshot generation per micro-batch so diffs are between
+    well-defined generations.
+
+    Removal is scoped to the hosts PRESENT in the batch (a host absent
+    from this poll was not re-polled — its pages are not "removed";
+    the state join is a left-semi against the batch's hosts, so state
+    rows of unpolled hosts are never scanned into the diff).
+    Unchanged rows are NOT emitted (the feed carries deltas; the batch
+    operator emits them for auditability).
+
+    Exactly-once across crashes (the stream_seed_ingest pattern): diff
+    rows land in an epoch=N subdirectory (overwrite mode — a replayed
+    epoch rewrites the same files), and the state commit records the
+    epoch AFTERWARD, so a crash between the two replays the epoch
+    idempotently while an already-committed epoch is skipped outright.
+    State lives in out_dir/_sitemap_state ('_'-prefixed: invisible to
+    parquet readers of the sink)."""
+    import os
+
+    from .snapshot import SnapshotStore
+
+    store = SnapshotStore(os.path.join(out_dir, "_sitemap_state"))
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_ = batch.sparkSession
+        bootstrapped = store.current_version() >= 0
+        last_epoch = (
+            int(store.manifest()["meta"].get("epoch", -1)) if bootstrapped else -1
+        )
+        if epoch_id <= last_epoch:
+            return  # replayed and fully committed — nothing to redo
+        b = batch.select("host", "url", F.col("lastmod").alias("lastmod_cur"))
+        b = b.localCheckpoint()
+        if bootstrapped and store.has_table("sitemap_state"):
+            st = store.load(spark_, "sitemap_state")
+        else:
+            st = spark_.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("host", T.StringType()),
+                        T.StructField("url", T.StringType()),
+                        T.StructField("lastmod", T.StringType()),
+                    ]
+                ),
+            )
+        polled = st.join(b.select("host").distinct(), "host", "left_semi").select(
+            "host", "url", F.col("lastmod").alias("lastmod_prev")
+        )
+        j = polled.join(b, ["host", "url"], "full_outer")
+        changed = (
+            F.col("lastmod_prev").isNotNull()
+            & F.col("lastmod_cur").isNotNull()
+            & (F.col("lastmod_prev") != F.col("lastmod_cur"))
+        )
+        diff = (
+            j.select(
+                "host",
+                "url",
+                "lastmod_prev",
+                "lastmod_cur",
+                F.when(F.col("lastmod_prev").isNull(), F.lit("added"))
+                .when(F.col("lastmod_cur").isNull(), F.lit("removed"))
+                .when(changed, F.lit("changed"))
+                .otherwise(F.lit("unchanged"))
+                .alias("status"),
+                F.when(F.col("lastmod_prev").isNull() | changed, F.lit("fetch"))
+                .when(F.col("lastmod_cur").isNull(), F.lit("tombstone"))
+                .otherwise(F.lit("skip"))
+                .alias("action"),
+                F.lit(int(epoch_id)).alias("epoch"),
+            )
+            .filter(F.col("status") != "unchanged")
+            .localCheckpoint()
+        )
+        # sink FIRST (epoch-keyed overwrite), state commit SECOND — the
+        # crash window between them replays idempotently
+        diff.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+        new_state = (
+            st.join(b.select("host").distinct(), "host", "left_anti")
+            .unionByName(b.withColumnRenamed("lastmod_cur", "lastmod"))
+            .localCheckpoint()
+        )
+        store.commit(
+            tables={"sitemap_state": new_state},
+            meta={"epoch": int(epoch_id)},
+            row_counts={"sitemap_state": new_state.count()},
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sitemap_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

@@ -176,3 +176,56 @@ def test_sitemap_diff_statuses_and_actions(spark):
     # the fetch list is round-sized: strictly smaller than the sitemap
     n_fetch = sum(1 for r in rows if r["action"] == "fetch")
     assert 0 < n_fetch < len(rows)
+
+
+def test_stream_sitemap_poll_emits_generation_diffs(spark, tmp_path):
+    """Two sitemap generations polled as separate micro-batches: batch 1
+    is all-added bootstrap; batch 2's emitted deltas equal the batch
+    sitemap_diff operator minus its 'unchanged' audit rows; replaying
+    with the same checkpoint emits nothing new (exactly-once)."""
+    from crunchy_spark.queries import QUERIES, _sitemap_gen_df
+    from crunchy_spark.streaming import stream_sitemap_poll
+
+    sm = str(tmp_path / "sitemaps")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey")
+    g1 = _sitemap_gen_df(sup, 1)
+    g2 = _sitemap_gen_df(sup, 2)
+    g1.coalesce(1).write.parquet(f"{sm}/gen1.parquet")
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    d1 = spark.read.parquet(out)
+    assert d1.count() == g1.count()  # bootstrap: everything 'added'
+    assert {r["status"] for r in d1.collect()} == {"added"}
+
+    g2.coalesce(1).write.parquet(f"{sm}/gen2.parquet")
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    d2 = spark.read.parquet(out).filter(F.col("epoch") == 1)
+    got = {
+        (r["host"], r["url"], r["status"], r["action"])
+        for r in d2.collect()
+    }
+    want = {
+        (r["host"], r["url"], r["status"], r["action"])
+        for r in QUERIES["sitemap_diff"](spark, SF).collect()
+        if r["status"] != "unchanged"
+    }
+    assert got == want and got
+
+    # state now mirrors generation 2 exactly
+    from crunchy_spark.snapshot import SnapshotStore
+    import os
+
+    store = SnapshotStore(os.path.join(out, "_sitemap_state"))
+    state = {
+        (r["host"], r["url"], r["lastmod"])
+        for r in store.load(spark, "sitemap_state").collect()
+    }
+    assert state == {
+        (r["host"], r["url"], r["lastmod"]) for r in g2.collect()
+    }
+
+    # replay: same checkpoint, no new files -> no new epochs
+    n_before = spark.read.parquet(out).count()
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n_before
