@@ -7413,11 +7413,13 @@ def zero_shot_label_match(spark, sf_dir):
     verbatim); this is the LLM-data extension the graft calls for.
 
     Plan shape: prototypes come from one posexplode -> (label, dim)
-    map-side-combinable agg (output K x {EMB_DIM} ~ tiny); scoring
-    BROADCASTS the K prototype arrays against the corpus (no corpus
-    shuffle — K is class-cardinality, never data-sized); the
-    argmax+runner-up reduce to one map-side-combinable groupBy(vec_id)
-    collecting K structs per row. Centroids and cosines round to 6dp
+    map-side-combinable agg (output K x {EMB_DIM} ~ tiny); all K
+    prototypes then fold into a SINGLE broadcast row carrying an array
+    of (label, centroid) structs, and every corpus row scores the whole
+    array inside one codegen'd projection — argmax and runner-up come
+    from an in-row array_sort, so the corpus side of the plan is
+    scan -> project with ZERO corpus shuffles (K is class-cardinality,
+    never data-sized). Centroids and cosines round to 6dp
     in both engines so float summation order can't flip an argmax
     (the semdedup_prune discipline); ties break on label ascending via
     the struct sort order."""
@@ -7440,26 +7442,44 @@ def zero_shot_label_match(spark, sf_dir):
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    j = e.crossJoin(F.broadcast(carr))
-    cos = F.round(
-        dot(F.col("v"), F.col("c"))
-        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("c"), F.col("c")))),
-        6,
+    # all K prototypes fold into ONE row carrying an array of (ck, c)
+    # structs; the corpus then crossJoins that single broadcast row and
+    # scores every prototype INSIDE a per-row array expression — the
+    # corpus is never shuffled at all (scan -> project), where the naive
+    # crossJoin + groupBy(vec_id) shape exchanges corpus x K rows.
+    protos = carr.agg(
+        F.array_sort(F.collect_list(F.struct("ck", "c"))).alias("ps")
     )
-    scored = j.select("vec_id", "label", (-cos).alias("ncos"), "ck")
-    top2 = (
-        scored.groupBy("vec_id", "label")
-        .agg(F.array_sort(F.collect_list(F.struct("ncos", "ck"))).alias("a"))
-        .select(
-            "vec_id",
-            "label",
-            F.col("a")[0]["ck"].alias("pred_label"),
-            (-F.col("a")[0]["ncos"]).alias("cos_best"),
-            F.round(F.col("a")[1]["ncos"] - F.col("a")[0]["ncos"], 6).alias("margin"),
-            (F.col("label") == F.col("a")[0]["ck"]).alias("label_match"),
-        )
+    scored = e.crossJoin(F.broadcast(protos)).select(
+        "vec_id",
+        "label",
+        F.array_sort(
+            F.transform(
+                F.col("ps"),
+                lambda p: F.struct(
+                    (
+                        -F.round(
+                            dot(F.col("v"), p["c"])
+                            / (
+                                F.sqrt(dot(F.col("v"), F.col("v")))
+                                * F.sqrt(dot(p["c"], p["c"]))
+                            ),
+                            6,
+                        )
+                    ).alias("ncos"),
+                    p["ck"].alias("ck"),
+                ),
+            )
+        ).alias("a"),
     )
-    return top2
+    return scored.select(
+        "vec_id",
+        "label",
+        F.col("a")[0]["ck"].alias("pred_label"),
+        (-F.col("a")[0]["ncos"]).alias("cos_best"),
+        F.round(F.col("a")[1]["ncos"] - F.col("a")[0]["ncos"], 6).alias("margin"),
+        (F.col("label") == F.col("a")[0]["ck"]).alias("label_match"),
+    )
 
 
 SURT_LOOKUP_PREFIX = "com,crunchbase,s1,h7)"  # all URLs of host h7.s1.crunchbase.com

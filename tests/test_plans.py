@@ -229,8 +229,9 @@ def test_bigram_logprob_single_corpus_scan(spark):
 SHAPES_R3G = [
     # per-IP politeness: one corpus agg + ip-partitioned windows only
     ("host_ip_politeness", 2, True, True),
-    # prototypes broadcast; corpus never shuffled beyond its aggs
-    ("zero_shot_label_match", 3, True, True),
+    # prototypes fold to ONE broadcast row; the only SinglePartition
+    # exchange is that K-row fold — the corpus itself never shuffles
+    ("zero_shot_label_match", 3, True, False),
     # index + manifest prune: range-sort machinery, broadcast block ids
     ("surt_prefix_lookup", 3, True, True),
     # functional-graph doubling: bounded joins over checkpointed maps
