@@ -64,6 +64,7 @@ _PRIORITY = [
     "caption_lm_fluency",
     "quality_ks_drift",
     "sitemap_diff",
+    "canonical_resolve",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

@@ -107,6 +107,7 @@ HEADLINE = [
     "caption_lm_fluency",
     "quality_ks_drift",
     "sitemap_diff",
+    "canonical_resolve",
 ]
 
 

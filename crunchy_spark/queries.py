@@ -7938,3 +7938,64 @@ def sitemap_diff(spark, sf_dir):
         "host", "url", "lastmod_prev", "lastmod_cur",
         status.alias("status"), action.alias("action"),
     )
+
+
+@register(
+    "canonical_resolve",
+    f"""
+    WITH r AS ({{RR_SQL}}),
+    mx AS (SELECT max(doc_id) AS mx FROM documents)
+    SELECT r.doc_id, r.status, r.final_id, r.n_hops,
+           CASE WHEN r.status <> 'loop' AND r.final_id % 20 = 0
+                     AND r.final_id + 10 <= mx.mx
+                THEN r.final_id + 10 END AS canonical_id,
+           CASE WHEN r.status = 'loop' THEN NULL
+                WHEN r.final_id % 20 = 0 AND r.final_id + 10 <= mx.mx
+                THEN r.final_id + 10
+                ELSE r.final_id END AS effective_id
+    FROM r CROSS JOIN mx
+    """.replace("{RR_SQL}", ORACLES["redirect_resolve"]),
+)
+def canonical_resolve(spark, sf_dir):
+    """rel=canonical resolution ON TOP of redirect resolution — the
+    two-layer URL identity a crawler actually needs: HTTP redirects
+    move the request (redirect_resolve), then the landing page may
+    DECLARE a different canonical URL in its markup (<link
+    rel="canonical">), and dedup/indexing must key on that effective
+    id. Composes the registered redirect_resolve operator verbatim
+    (its oracle SQL is the CTE — the curation_keep_list discipline, so
+    this table cannot drift from the chain resolution it extends); the
+    canonical declaration is deterministic in both engines: every 20th
+    landing page declares its +10 neighbor (itself a terminal,
+    single-hop by construction — real canonicals are one hop; chains
+    of canonicals are a spam signal url_trap_detect would catch).
+    Loop rows stay unresolvable (null effective_id, the drop signal).
+    The reference's scrapy stack follows redirects but stores whatever
+    URL it landed on (pipelines.py upserts by the fetched URL);
+    canonical collapsing is the missing identity layer.
+
+    Plan shape: redirect_resolve's pointer-doubling plan plus ONE
+    projection — the canonical rule is a pure CASE over the resolved
+    landing id (no new join; the 1-row max rides the same broadcast
+    pattern). At 10^10 URLs the effective_id column is what the
+    URL-seen filter and the frontier MERGE key on."""
+    rr = QUERIES["redirect_resolve"](spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    j = rr.crossJoin(F.broadcast(mx))
+    declares = (
+        (F.col("status") != "loop")
+        & (F.col("final_id") % 20 == 0)
+        & (F.col("final_id") + 10 <= F.col("mx"))
+    )
+    return j.select(
+        "doc_id",
+        "status",
+        "final_id",
+        "n_hops",
+        F.when(declares, F.col("final_id") + 10).alias("canonical_id"),
+        F.when(F.col("status") == "loop", F.lit(None).cast("long"))
+        .when(declares, F.col("final_id") + 10)
+        .otherwise(F.col("final_id"))
+        .alias("effective_id"),
+    )

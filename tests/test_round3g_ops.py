@@ -229,3 +229,26 @@ def test_stream_sitemap_poll_emits_generation_diffs(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_canonical_resolve_two_layer_identity(spark):
+    rows = {r["doc_id"]: r for r in QUERIES["canonical_resolve"](spark, SF).collect()}
+    rr = {r["doc_id"]: r for r in QUERIES["redirect_resolve"](spark, SF).collect()}
+    assert set(rows) == set(rr)
+    n_decl = 0
+    for d, r in rows.items():
+        base = rr[d]
+        assert (r["status"], r["final_id"], r["n_hops"]) == (
+            base["status"], base["final_id"], base["n_hops"],
+        )
+        if r["status"] == "loop":
+            assert r["effective_id"] is None and r["canonical_id"] is None
+        elif r["canonical_id"] is not None:
+            n_decl += 1
+            # single-hop by construction: a canonical target never
+            # itself declares a canonical
+            assert rows[r["canonical_id"]]["canonical_id"] is None
+            assert r["effective_id"] == r["canonical_id"] == r["final_id"] + 10
+        else:
+            assert r["effective_id"] == r["final_id"]
+    assert n_decl > 0
