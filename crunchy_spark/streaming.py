@@ -323,23 +323,39 @@ def read_kafka_items(spark: SparkSession, bootstrap: str, topic: str) -> DataFra
         return None
 
 
+def sitemap_state_view(spark: SparkSession, store) -> DataFrame:
+    """Merge-on-read view of the append-only ``sitemap_state`` delta
+    segments: latest epoch wins per (host, url); tombstone rows (null
+    lastmod, written when a poll shows a URL gone) delete the key. The
+    same equality-delete MERGE semantics as the engine's frontier_view
+    (loop.py), at sitemap-entry granularity."""
+    raw = store.load(spark, "sitemap_state")
+    latest = raw.groupBy("host", "url").agg(
+        F.max(F.struct("epoch", "lastmod")).alias("m")
+    )
+    return latest.select(
+        "host", "url", F.col("m.lastmod").alias("lastmod")
+    ).filter(F.col("lastmod").isNotNull())
+
+
 def stream_sitemap_poll(
     spark: SparkSession,
     sitemap_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int = 8,
 ):
     """Streaming sitemap poller — the continuous form of the
     sitemap_diff batch operator (queries.py): watch a directory where
     each arriving parquet file is a sitemap SNAPSHOT of (host, url,
     lastmod) rows; per micro-batch, diff the snapshot against the
     committed last-seen state and append only the CHANGE rows
-    (added / removed / changed + the fetch / tombstone / skip-free
-    action) to the sink — discovery becomes a round-sized change feed
-    instead of a daily re-crawl. ``maxFilesPerTrigger=1`` pins one
-    snapshot generation per micro-batch so diffs are between
-    well-defined generations.
+    (added / removed / changed + the fetch / tombstone action) to the
+    sink — discovery becomes a round-sized change feed instead of a
+    daily re-crawl. ``maxFilesPerTrigger=1`` pins one snapshot
+    generation per micro-batch so diffs are between well-defined
+    generations.
 
     Removal is scoped to the hosts PRESENT in the batch (a host absent
     from this poll was not re-polled — its pages are not "removed";
@@ -348,12 +364,23 @@ def stream_sitemap_poll(
     Unchanged rows are NOT emitted (the feed carries deltas; the batch
     operator emits them for auditability).
 
+    State is LSM-shaped, never rewritten per poll (the bloom.py /
+    frontier delta-segment discipline — a full-state overwrite per
+    poll would be the stream_seed_ingest disease at 10^9 sitemap
+    entries): each epoch APPENDS one delta segment holding the polled
+    hosts\' current rows plus null-lastmod tombstones for their
+    removed URLs — O(polled delta) written per poll; reads go through
+    sitemap_state_view (latest epoch per key, tombstones drop out),
+    column-pruned and host-filtered at the parquet scan. Every
+    ``compact_every`` epochs the segments fold into one (tombstones
+    erased), bounding segment count for long-lived streams.
+
     Exactly-once across crashes (the stream_seed_ingest pattern): diff
     rows land in an epoch=N subdirectory (overwrite mode — a replayed
     epoch rewrites the same files), and the state commit records the
     epoch AFTERWARD, so a crash between the two replays the epoch
     idempotently while an already-committed epoch is skipped outright.
-    State lives in out_dir/_sitemap_state ('_'-prefixed: invisible to
+    State lives in out_dir/_sitemap_state (\'_\'-prefixed: invisible to
     parquet readers of the sink)."""
     import os
 
@@ -372,7 +399,7 @@ def stream_sitemap_poll(
         b = batch.select("host", "url", F.col("lastmod").alias("lastmod_cur"))
         b = b.localCheckpoint()
         if bootstrapped and store.has_table("sitemap_state"):
-            st = store.load(spark_, "sitemap_state")
+            st = sitemap_state_view(spark_, store)
         else:
             st = spark_.createDataFrame(
                 [],
@@ -418,16 +445,47 @@ def stream_sitemap_poll(
         diff.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch={int(epoch_id)}")
         )
-        new_state = (
-            st.join(b.select("host").distinct(), "host", "left_anti")
-            .unionByName(b.withColumnRenamed("lastmod_cur", "lastmod"))
+        # delta segment: the polled snapshot + tombstones for removals
+        seg = (
+            b.withColumnRenamed("lastmod_cur", "lastmod")
+            .unionByName(
+                diff.filter(F.col("status") == "removed").select(
+                    "host", "url", F.lit(None).cast("string").alias("lastmod")
+                )
+            )
+            .select("host", "url", "lastmod", F.lit(int(epoch_id)).alias("epoch"))
             .localCheckpoint()
         )
-        store.commit(
-            tables={"sitemap_state": new_state},
-            meta={"epoch": int(epoch_id)},
-            row_counts={"sitemap_state": new_state.count()},
-        )
+        if (
+            bootstrapped
+            and store.has_table("sitemap_state")
+            and int(epoch_id) % compact_every == compact_every - 1
+        ):
+            # compaction: fold every segment + this delta into one
+            # (latest epoch per key; tombstoned keys erased outright)
+            merged = (
+                store.load(spark_, "sitemap_state")
+                .unionByName(seg)
+                .groupBy("host", "url")
+                .agg(F.max(F.struct("epoch", "lastmod")).alias("m"))
+                .select(
+                    "host", "url", F.col("m.lastmod").alias("lastmod"),
+                    F.col("m.epoch").alias("epoch"),
+                )
+                .filter(F.col("lastmod").isNotNull())
+                .localCheckpoint()
+            )
+            store.commit(
+                tables={"sitemap_state": merged},
+                meta={"epoch": int(epoch_id)},
+                row_counts={"sitemap_state": merged.count()},
+            )
+        else:
+            store.commit(
+                appends={"sitemap_state": seg},
+                meta={"epoch": int(epoch_id)},
+                row_counts={"sitemap_state": seg.count()},
+            )
 
     schema = T.StructType(
         [

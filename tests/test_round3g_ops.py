@@ -193,13 +193,13 @@ def test_stream_sitemap_poll_emits_generation_diffs(spark, tmp_path):
     g1 = _sitemap_gen_df(sup, 1)
     g2 = _sitemap_gen_df(sup, 2)
     g1.coalesce(1).write.parquet(f"{sm}/gen1.parquet")
-    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt, compact_every=2).awaitTermination()
     d1 = spark.read.parquet(out)
     assert d1.count() == g1.count()  # bootstrap: everything 'added'
     assert {r["status"] for r in d1.collect()} == {"added"}
 
     g2.coalesce(1).write.parquet(f"{sm}/gen2.parquet")
-    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt, compact_every=2).awaitTermination()
     d2 = spark.read.parquet(out).filter(F.col("epoch") == 1)
     got = {
         (r["host"], r["url"], r["status"], r["action"])
@@ -212,22 +212,26 @@ def test_stream_sitemap_poll_emits_generation_diffs(spark, tmp_path):
     }
     assert got == want and got
 
-    # state now mirrors generation 2 exactly
+    # merge-on-read state now mirrors generation 2 exactly (tombstones
+    # dropped the removed URLs; latest epoch won the changed ones)
     from crunchy_spark.snapshot import SnapshotStore
+    from crunchy_spark.streaming import sitemap_state_view
     import os
 
     store = SnapshotStore(os.path.join(out, "_sitemap_state"))
     state = {
         (r["host"], r["url"], r["lastmod"])
-        for r in store.load(spark, "sitemap_state").collect()
+        for r in sitemap_state_view(spark, store).collect()
     }
     assert state == {
         (r["host"], r["url"], r["lastmod"]) for r in g2.collect()
     }
+    # epoch 1 hit the compact_every=2 cadence: segments folded to ONE
+    assert len(store.manifest()["tables"]["sitemap_state"]) == 1
 
     # replay: same checkpoint, no new files -> no new epochs
     n_before = spark.read.parquet(out).count()
-    stream_sitemap_poll(spark, sm + "/*", out, ckpt).awaitTermination()
+    stream_sitemap_poll(spark, sm + "/*", out, ckpt, compact_every=2).awaitTermination()
     assert spark.read.parquet(out).count() == n_before
 
 
