@@ -65,6 +65,7 @@ _PRIORITY = [
     "quality_ks_drift",
     "sitemap_diff",
     "canonical_resolve",
+    "image_ingest_manifest",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

@@ -108,6 +108,7 @@ HEADLINE = [
     "quality_ks_drift",
     "sitemap_diff",
     "canonical_resolve",
+    "image_ingest_manifest",
 ]
 
 

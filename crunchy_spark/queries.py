@@ -7999,3 +7999,68 @@ def canonical_resolve(spark, sf_dir):
         .otherwise(F.col("final_id"))
         .alias("effective_id"),
     )
+
+
+@register(
+    "image_ingest_manifest",
+    f"""
+    WITH kl AS ({{KEEP_SQL}}),
+    d AS (SELECT m.image_id, m.fmt, (m.w * m.h * 3)::BIGINT AS est_bytes
+          FROM read_parquet('{_IMAGES_META}') m
+          JOIN kl ON m.image_id = kl.image_id
+          WHERE kl.keep),
+    c AS (SELECT *,
+            coalesce(sum(est_bytes) OVER (PARTITION BY fmt ORDER BY image_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM d)
+    SELECT fmt, (cum_before // {SHARD_BUDGET})::BIGINT AS shard_id,
+           count(*) AS n_images,
+           sum(est_bytes)::BIGINT AS shard_bytes,
+           min(image_id) AS first_id, max(image_id) AS last_id
+    FROM c GROUP BY fmt, cum_before // {SHARD_BUDGET}
+    """.replace("{KEEP_SQL}", ORACLES["image_keep_list"]),
+)
+def image_ingest_manifest(spark, sf_dir):
+    """The end of the multimodal ingest pipeline: the WebDataset shard
+    manifest over exactly the CURATED survivors — image_keep_list's
+    keep rows (image-dup canonical, caption dup/near-dup, LAION quality
+    gates already applied) packed contiguously in (fmt, image_id) order
+    under the {SHARD_BUDGET}-decoded-byte budget. This is the artifact
+    a training job consumes: dropped images never occupy shard space,
+    shard boundaries are deterministic at any cluster size, and because
+    both constituent operators' oracle SQL is composed verbatim as
+    CTEs, the manifest cannot drift from the keep decisions or the
+    packing rule it claims to implement (the curation_keep_list
+    discipline, applied end-to-end).
+
+    Scale shape: strictly the union of its parts — the keep list's
+    banded/component machinery, then the two-phase range-sort +
+    census-offset cumsum over only the survivors (no single-partition
+    window), and a map-side-combinable (fmt, shard_id) manifest agg.
+    Ignores sf_dir (fixture universe, same data as oracle)."""
+    kl = QUERIES["image_keep_list"](spark, sf_dir).filter(F.col("keep"))
+    m = (
+        spark.read.parquet(_IMAGES_META)
+        .join(kl.select("image_id"), "image_id")
+        .select(
+            F.col("fmt").alias("lang"),
+            F.col("image_id").alias("doc_id"),
+            (F.col("w") * F.col("h") * 3).cast("long").alias("n_tok"),
+        )
+    )
+    c = _per_lang_cumsum_before(m)
+    return (
+        c.select(
+            F.col("lang").alias("fmt"),
+            F.col("doc_id").alias("image_id"),
+            F.col("n_tok").alias("est_bytes"),
+            F.expr(f"cum_before div {SHARD_BUDGET}").alias("shard_id"),
+        )
+        .groupBy("fmt", "shard_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("est_bytes").alias("shard_bytes"),
+            F.min("image_id").alias("first_id"),
+            F.max("image_id").alias("last_id"),
+        )
+    )

