@@ -278,3 +278,26 @@ def test_image_ingest_manifest_packs_only_survivors(spark):
         # budget window (its bytes can fall short of the budget only by
         # the tail item that overflowed into the next shard)
         assert all(s["shard_bytes"] > 0 for s in shards)
+
+
+def test_batch9to11_oracles_at_driver_scale(spark):
+    """Driver-gate mirror at sf0.01 for batches IX-XI (the pytest
+    oracle suite runs at sf0.001; ties/caps can differ between
+    scales — the test_round3f_ops.py discipline)."""
+    from crunchy_spark.queries import ORACLES
+    from tests.oracle_util import compare, duck_conn
+
+    sf01 = "/root/testdata/sf0.01"
+    con = duck_conn(sf01)
+    for name in (
+        "redirect_resolve",
+        "host_ip_politeness",
+        "zero_shot_label_match",
+        "surt_prefix_lookup",
+        "caption_lm_fluency",
+        "quality_ks_drift",
+        "sitemap_diff",
+        "canonical_resolve",
+        "image_ingest_manifest",
+    ):
+        compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
