@@ -66,6 +66,7 @@ _PRIORITY = [
     "sitemap_diff",
     "canonical_resolve",
     "image_ingest_manifest",
+    "dedup_layer_agreement",
     "host_hits",
     "bigram_logprob_quality",
     "image_keep_list",

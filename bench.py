@@ -109,6 +109,7 @@ HEADLINE = [
     "sitemap_diff",
     "canonical_resolve",
     "image_ingest_manifest",
+    "dedup_layer_agreement",
 ]
 
 

@@ -8064,3 +8064,85 @@ def image_ingest_manifest(spark, sf_dir):
             F.max("image_id").alias("last_id"),
         )
     )
+
+
+SIMHASH_NEAR_BITS = 3  # 16-bit simhash: hamming <= 3 counts as "near"
+
+
+@register(
+    "dedup_layer_agreement",
+    f"""
+    WITH pairs AS ({{PAIRS_SQL}}),
+    sh AS ({{SIMHASH_SQL}}),
+    fp AS (SELECT doc_id,
+                  {_MD5_INT_SQL.format(c=f"array_to_string(list_sort({_TOKS_SQL}), ' ')")}
+                    AS content_fp
+           FROM documents)
+    SELECT p.a_id, p.b_id, p.jac,
+           (fa.content_fp = fb.content_fp) AS exact_dup,
+           bit_count(xor(sa.simhash, sb.simhash)) AS simhash_hamming,
+           (bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_NEAR_BITS})
+             AS simhash_near
+    FROM pairs p
+    JOIN fp fa ON p.a_id = fa.doc_id
+    JOIN fp fb ON p.b_id = fb.doc_id
+    JOIN sh sa ON p.a_id = sa.doc_id
+    JOIN sh sb ON p.b_id = sb.doc_id
+    """.replace("{PAIRS_SQL}", ORACLES["minhash_lsh_pairs"]).replace(
+        "{SIMHASH_SQL}", ORACLES["simhash"]
+    ),
+)
+def dedup_layer_agreement(spark, sf_dir):
+    """Evaluation table for the dedup STACK: for every MinHash-LSH
+    near-dup pair, do the other layers agree? — NORMALIZED-exact
+    equality (md5 over the sorted distinct token set, the cheapest
+    tier: it must fire exactly on the set-Jaccard-1.0 pairs, which the
+    driver hash-match proves) and SimHash Hamming distance (the middle
+    layer), per pair. This is the lang_confusion discipline
+    applied to deduplication: a pipeline running exact -> simhash ->
+    minhash tiers needs to KNOW how much each cheaper tier would have
+    caught (exact_dup share) and where simhash's radius sits relative
+    to true Jaccard similarity, before tuning tier thresholds at
+    100 TB. Composes three registered operators' oracle SQL verbatim
+    as CTEs (minhash_lsh_pairs, simhash, dedup_exact's fingerprint
+    expression), so the agreement table cannot drift from the layers
+    it audits.
+
+    Plan shape: the pair stream comes from the banded LSH join (never
+    all-pairs); fingerprints and simhashes are doc-keyed tables joined
+    back by id — four data-sized equi joins, hash-partitioned on
+    doc_id; the hamming column is codegen'd bit_count(xor). No new
+    quadratic surface anywhere."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id", "jac")
+    fp = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _md5_int(F.array_join(F.array_sort(_toks_col()), " ")).alias("content_fp"),
+    )
+    sh = simhash(spark, sf_dir)
+    j = (
+        pairs.join(
+            fp.select(F.col("doc_id").alias("a_id"), F.col("content_fp").alias("fp_a")),
+            "a_id",
+        )
+        .join(
+            fp.select(F.col("doc_id").alias("b_id"), F.col("content_fp").alias("fp_b")),
+            "b_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b")),
+            "b_id",
+        )
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return j.select(
+        "a_id",
+        "b_id",
+        "jac",
+        (F.col("fp_a") == F.col("fp_b")).alias("exact_dup"),
+        ham.cast("long").alias("simhash_hamming"),
+        (ham <= SIMHASH_NEAR_BITS).alias("simhash_near"),
+    )

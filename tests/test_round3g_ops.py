@@ -299,5 +299,21 @@ def test_batch9to11_oracles_at_driver_scale(spark):
         "sitemap_diff",
         "canonical_resolve",
         "image_ingest_manifest",
+        "dedup_layer_agreement",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
+
+
+def test_dedup_layer_agreement_tiers_consistent(spark):
+    rows = QUERIES["dedup_layer_agreement"](spark, SF).collect()
+    assert rows
+    n_exact = sum(r["exact_dup"] for r in rows)
+    n_near = sum(r["simhash_near"] for r in rows)
+    for r in rows:
+        # the normalized-exact tier fires exactly on set-Jaccard-1.0
+        assert r["exact_dup"] == (r["jac"] == 1.0), r
+        assert 0 <= r["simhash_hamming"] <= 16
+        assert r["simhash_near"] == (r["simhash_hamming"] <= 3)
+    # tiers are a real hierarchy on this corpus: exact < simhash-near
+    # (the cheap tier catches a strict subset of what LSH found)
+    assert 0 < n_exact < n_near <= len(rows)
