@@ -110,6 +110,14 @@ HEADLINE = [
     "canonical_resolve",
     "image_ingest_manifest",
     "dedup_layer_agreement",
+    # round 3 batch XII: link-graph analytics, splits, dedup report,
+    # entropy gate, recompression plan
+    "anchor_text_agg",
+    "host_degree_stats",
+    "dataset_split_assign",
+    "neardup_cluster_stats",
+    "token_entropy_quality",
+    "image_recompress_plan",
 ]
 
 

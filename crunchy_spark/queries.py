@@ -8146,3 +8146,422 @@ def dedup_layer_agreement(spark, sf_dir):
         ham.cast("long").alias("simhash_hamming"),
         (ham <= SIMHASH_NEAR_BITS).alias("simhash_near"),
     )
+
+
+# ===========================================================================
+# XII. Link-graph analytics, dataset splits, dedup reporting, entropy
+#      gating, recompression planning (round 3, batch XII)
+# ===========================================================================
+# A deterministic hyperlink graph derived from doc_id arithmetic (the
+# _redirect_edges discipline): every page emits LINK_FANOUT outlinks,
+# dst = (src*7 + 13k) % n — a full-period affine map, so in-degree is
+# near-uniform with designed hot targets where orbits collide — and the
+# anchor text of the k-th link is the k-th token of the SOURCE page
+# (anchors describe the target in the source's words, which is exactly
+# why search engines index them). Hosts partition the id space mod
+# N_LINK_HOSTS, mirroring the reference's host-sharded crawl identity
+# (CrunchyCrawler pipelines key by domain).
+LINK_FANOUT = 3
+N_LINK_HOSTS = 53
+
+_LINK_EDGE_SQL = f"""
+    SELECT d.doc_id AS src,
+           ((d.doc_id * 7 + 13 * k.k) % n.n) AS dst,
+           list_extract(string_split_regex(lower(d.text), '\\s+'), k.k)
+             AS anchor,
+           'h' || (d.doc_id % {N_LINK_HOSTS})::VARCHAR AS src_host
+    FROM documents d
+    CROSS JOIN (SELECT count(*) AS n FROM documents) n
+    CROSS JOIN (VALUES (1), (2), (3)) k(k)
+    WHERE ((d.doc_id * 7 + 13 * k.k) % n.n) <> d.doc_id
+"""
+
+
+def _link_edges(docs_text: DataFrame) -> DataFrame:
+    """(src, dst, anchor, src_host) hyperlink edges (rules above).
+
+    The doc count rides a 1-row broadcast (the _redirect_edges
+    pattern); the fanout explode is a LINK_FANOUT-element literal
+    array, so edge generation is a pure projection — zero exchanges
+    beyond the scan, linear in corpus size at any scale."""
+    nn = docs_text.agg(F.count("*").alias("n"))
+    d = docs_text.crossJoin(F.broadcast(nn)).select(
+        F.col("doc_id").alias("src"),
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+        "n",
+        F.explode(F.array(*[F.lit(k) for k in range(1, LINK_FANOUT + 1)])).alias("k"),
+    )
+    dst = (F.col("src") * 7 + 13 * F.col("k")) % F.col("n")
+    return d.filter(dst != F.col("src")).select(
+        "src",
+        dst.alias("dst"),
+        F.element_at("toks", F.col("k").cast("int")).alias("anchor"),
+        F.concat(F.lit("h"), (F.col("src") % N_LINK_HOSTS).cast("string")).alias(
+            "src_host"
+        ),
+    )
+
+
+@register(
+    "anchor_text_agg",
+    f"""
+    WITH e AS ({_LINK_EDGE_SQL}),
+    per AS (SELECT dst, count(*) AS n_inlinks,
+                   count(DISTINCT src_host) AS n_src_hosts,
+                   count(DISTINCT anchor) AS n_anchors
+            FROM e GROUP BY dst),
+    af AS (SELECT dst, anchor, count(*) AS f FROM e GROUP BY dst, anchor),
+    top AS (SELECT dst, anchor, f,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY f DESC, anchor) AS r
+            FROM af)
+    SELECT p.dst AS doc_id, p.n_inlinks, p.n_src_hosts, p.n_anchors,
+           t.anchor AS top_anchor, t.f AS top_anchor_freq
+    FROM per p JOIN top t ON p.dst = t.dst AND t.r = 1
+    """,
+)
+def anchor_text_agg(spark, sf_dir):
+    """Per-target anchor-text aggregation — the link-derived evidence a
+    crawler/indexer keeps per URL: how many pages link here, from how
+    many distinct hosts, with what dominant anchor phrase. Anchor text
+    is query-independent relevance evidence (it's how search engines
+    describe pages they haven't parsed yet) and in-link host diversity
+    is the classic crawl-priority signal (a page linked from many
+    hosts outranks one linked many times from one host — the OPIC /
+    indegree family the frontier's priority scorer consumes). The
+    reference keeps no link evidence at all — its similar_companies
+    lookups are content-side only — so this is the missing link-side
+    half of its entity graph (knowledgeGraph/generate_graph.py builds
+    SIMILAR_TO from content, never from links).
+
+    Plan shape: edge generation is a projection (1-row count
+    broadcast, literal fanout explode — no corpus join); both aggs are
+    map-side-combinable hash aggs keyed on dst; the top-anchor
+    row_number window runs over the AGGREGATED (dst, anchor) table
+    partitioned by dst — bounded by distinct anchors per target, never
+    corpus-sized, no SinglePartition exchange. At 10^10 URLs this is
+    the WAT-extract → anchor-index job Common Crawl runs, same shape,
+    more partitions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = _link_edges(docs).localCheckpoint(eager=False)  # shared by both aggs
+    per = e.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.countDistinct("anchor").alias("n_anchors"),
+    )
+    af = e.groupBy("dst", "anchor").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("dst").orderBy(F.desc("f"), F.asc("anchor"))
+    top = af.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return per.join(top, "dst").select(
+        F.col("dst").alias("doc_id"),
+        "n_inlinks",
+        "n_src_hosts",
+        "n_anchors",
+        F.col("anchor").alias("top_anchor"),
+        F.col("f").alias("top_anchor_freq"),
+    )
+
+
+@register(
+    "host_degree_stats",
+    f"""
+    WITH e AS ({_LINK_EDGE_SQL}),
+    he AS (SELECT src_host,
+                  'h' || (dst % {N_LINK_HOSTS})::VARCHAR AS dst_host
+           FROM e),
+    outd AS (SELECT src_host AS host, count(*) AS out_edges,
+                    count(DISTINCT dst_host) AS out_hosts
+             FROM he GROUP BY src_host),
+    ind AS (SELECT dst_host AS host, count(*) AS in_edges,
+                   count(DISTINCT src_host) AS in_hosts
+            FROM he GROUP BY dst_host)
+    SELECT coalesce(o.host, i.host) AS host,
+           coalesce(o.out_edges, 0) AS out_edges,
+           coalesce(o.out_hosts, 0) AS out_hosts,
+           coalesce(i.in_edges, 0) AS in_edges,
+           coalesce(i.in_hosts, 0) AS in_hosts
+    FROM outd o FULL OUTER JOIN ind i ON o.host = i.host
+    """,
+)
+def host_degree_stats(spark, sf_dir):
+    """Host-graph degree table — the hostgraph analytics Common Crawl
+    publishes per crawl (in/out edge and distinct-neighbor counts per
+    host) and the first input to seed selection, spam-host triage, and
+    politeness capacity planning: a host with huge in-degree from few
+    neighbors is a link farm; one with broad in-host diversity is a
+    hub worth recrawling. Complements host_pagerank/host_hits (score
+    the same graph) with the raw degree evidence those scores
+    summarize.
+
+    Plan shape: page edges collapse to host edges in the projection;
+    two map-side-combinable hash aggs keyed on host (bounded by
+    N_LINK_HOSTS here, by the host universe at scale — millions, not
+    10^10), then one host-keyed full-outer merge. The host graph is
+    always orders of magnitude smaller than the page graph, which is
+    why hostgraph jobs run where pagegraph jobs can't."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    he = _link_edges(docs).select(
+        "src_host",
+        F.concat(F.lit("h"), (F.col("dst") % N_LINK_HOSTS).cast("string")).alias(
+            "dst_host"
+        ),
+    ).localCheckpoint(eager=False)
+    outd = he.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("out_edges"),
+        F.countDistinct("dst_host").alias("out_hosts"),
+    )
+    ind = he.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").alias("in_edges"),
+        F.countDistinct("src_host").alias("in_hosts"),
+    )
+    return (
+        outd.join(ind, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        )
+    )
+
+
+# Split-bucket layout: content-hash mod 100 -> 1% test, 1% val, 98%
+# train. Keyed on the NORMALIZED CONTENT FINGERPRINT (dedup_exact's
+# md5-over-sorted-token-set), not doc_id: exact duplicates MUST land in
+# the same split or the held-out sets leak training text — the standard
+# url/content-hash split discipline (C4, The Pile, RefinedWeb all split
+# by hash for exactly this reason).
+SPLIT_TEST_LT = 1
+SPLIT_VAL_LT = 2
+_CONTENT_FP_SQL = _MD5_INT_SQL.format(
+    c=f"array_to_string(list_sort({_TOKS_SQL}), ' ')"
+)
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    SELECT doc_id, content_fp, bucket,
+           CASE WHEN bucket < {SPLIT_TEST_LT} THEN 'test'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, {_CONTENT_FP_SQL} AS content_fp,
+                 {_CONTENT_FP_SQL} % 100 AS bucket
+          FROM documents)
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic, leakage-safe train/val/test assignment: each doc
+    hashes its NORMALIZED CONTENT (dedup_exact's fingerprint — sorted
+    distinct token set) into one of 100 buckets; buckets 0 -> test,
+    1 -> val, rest -> train. Because the key is the content hash and
+    not the row id, every exact duplicate of a held-out document lands
+    in the SAME held-out split — the invariant that keeps eval numbers
+    honest when the corpus still contains dups upstream of the dedup
+    pass (and the reason C4-style pipelines split by hash, never by
+    position or RNG). Deterministic in both engines: no RNG, no
+    wall-clock, stable under repartitioning and re-runs — a doc's
+    split never changes when the corpus grows, which rolling-crawl
+    training requires (yesterday's val doc must not become today's
+    train doc).
+
+    Plan shape: one projection over the scan — the fingerprint is a
+    codegen'd md5/conv expression, the bucket a modulo; ZERO exchanges
+    (the split is embarrassingly parallel by construction). The
+    per-(lang, split) census any consumer needs is one map-side
+    combinable agg downstream."""
+    d = _t(spark, sf_dir, "documents")
+    fp = _md5_int(F.array_join(F.array_sort(_toks_col()), " "))
+    return d.select(
+        "doc_id",
+        fp.alias("content_fp"),
+        (fp % 100).alias("bucket"),
+        F.when(fp % 100 < SPLIT_TEST_LT, F.lit("test"))
+        .when(fp % 100 < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@register(
+    "neardup_cluster_stats",
+    """
+    WITH comp AS ({NC_SQL}),
+    s AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id)
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           sum(sz)::BIGINT AS n_docs
+    FROM s GROUP BY sz
+    """.replace("{NC_SQL}", ORACLES["neardup_components"]),
+)
+def neardup_cluster_stats(spark, sf_dir):
+    """Cluster-size histogram of the near-dup components — the dedup
+    REPORT a pipeline publishes per crawl: how many dup clusters exist
+    at each size, and how many documents they hold. sum(n_docs) is the
+    corpus; n_docs - n_clusters is exactly the row count dedup removes
+    (one canonical survives per cluster); the size tail is the
+    template-spam indicator (a 10^4-doc cluster is a boilerplate farm,
+    not prose). Composes neardup_components' oracle SQL verbatim as a
+    CTE, so the report cannot drift from the clustering it summarizes
+    (the curation_keep_list discipline).
+
+    Plan shape: strictly the components machinery (banded LSH pairs +
+    pointer-jumping labels), then two map-side-combinable hash aggs —
+    component_id-keyed then size-keyed; the histogram is at most
+    max-cluster-size rows. Nothing here grows faster than the
+    component step that already ran."""
+    comp = QUERIES["neardup_components"](spark, sf_dir)
+    s = comp.groupBy("component_id").agg(F.count("*").alias("sz"))
+    return s.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+# Entropy gate: natural prose has per-token unigram entropy near
+# log(vocab-in-doc); keyword-stuffed/template/repeated-token spam
+# collapses it. Flag the low tail of the NORMALIZED entropy (entropy /
+# ln(distinct tokens) in [0,1], scale-free across doc lengths).
+ENTROPY_LOW = 0.7
+
+
+@register(
+    "token_entropy_quality",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_RAW_SQL}) AS tok
+                 FROM documents),
+    f AS (SELECT doc_id, tok, count(*) AS f
+          FROM tok GROUP BY doc_id, tok),
+    n AS (SELECT doc_id, sum(f)::BIGINT AS n_tokens, count(*) AS n_distinct,
+                 round(ln(sum(f)) - sum(f::DOUBLE * ln(f)) / sum(f), 4)
+                   AS entropy
+          FROM f GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, entropy,
+           CASE WHEN n_distinct > 1
+                THEN round(entropy / ln(n_distinct), 4) END AS norm_entropy,
+           (n_distinct > 1 AND round(entropy / ln(n_distinct), 4)
+              < {ENTROPY_LOW}) AS is_low_entropy
+    FROM n
+    """,
+)
+def token_entropy_quality(spark, sf_dir):
+    """Per-document token-distribution entropy — the information-
+    theoretic quality gate beside the rule-based ones (quality_score's
+    length/punct ratios, repetition_quality's dup-word share): entropy
+    = -sum p ln p over the doc's unigram frequencies, normalized by
+    ln(distinct tokens) so a 50-token and a 5000-token doc are
+    comparable. Keyword stuffing, tag clouds, and template spam sit in
+    the low tail; natural prose sits near 1 (its frequencies are
+    Zipfian but its support is wide). The corpus-level twin is
+    token_zipf_slope; this is the per-doc decision column.
+
+    Plan shape: one token explode (linear in corpus tokens), one
+    map-side-combinable (doc_id, tok) hash agg, then one doc_id-keyed
+    agg with the entropy folded in via the ln-identity
+    H = ln n - sum(f ln f)/n (the SAME expression in both engines —
+    one pass, no per-p window). No corpus-wide window, no join, 4dp
+    rounding pins cross-engine float agreement."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    f = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("f"))
+    # H = -sum(f/n ln(f/n)) = ln(n) - sum(f ln f)/n : one agg, no window
+    n = f.groupBy("doc_id").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("f") * F.log(F.col("f"))).alias("_flf"),
+    )
+    ent = F.round(
+        F.log(F.col("n_tokens")) - F.col("_flf") / F.col("n_tokens"), 4
+    )
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        F.round(ent / F.log(F.col("n_distinct")), 4),
+    )
+    return n.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ent.alias("entropy"),
+        norm.alias("norm_entropy"),
+        ((F.col("n_distinct") > 1) & (norm < ENTROPY_LOW)).alias(
+            "is_low_entropy"
+        ),
+    )
+
+
+# Recompression planning thresholds: drop tiny thumbnails, transcode
+# large lossless PNGs to JPEG before training ingest (SDXL/LAION-style
+# storage discipline: decoded pixels are the training cost, stored
+# bytes are the IO cost; lossless storage of photographic content is
+# ~6x the IO for zero model benefit).
+RECOMP_MIN_DIM = 48
+RECOMP_PNG_PIXELS = 96 * 64
+_EST_PNG_DIV = 2  # PNG ~ decoded/2 on-disk (synthetic noise compresses poorly)
+_EST_JPEG_DIV = 12  # JPEG q85 ~ decoded/12
+
+
+@register(
+    "image_recompress_plan",
+    f"""
+    SELECT image_id, fmt, w, h,
+           (w * h * 3)::BIGINT AS decoded_bytes,
+           CASE WHEN w < {RECOMP_MIN_DIM} OR h < {RECOMP_MIN_DIM}
+                  THEN 'drop_small'
+                WHEN fmt = 'png' AND w * h >= {RECOMP_PNG_PIXELS}
+                  THEN 'recompress_jpeg'
+                ELSE 'keep' END AS action,
+           CASE WHEN w < {RECOMP_MIN_DIM} OR h < {RECOMP_MIN_DIM}
+                  THEN 0
+                WHEN fmt = 'png' AND w * h >= {RECOMP_PNG_PIXELS}
+                  THEN (w * h * 3) // {_EST_JPEG_DIV}
+                WHEN fmt = 'png'
+                  THEN (w * h * 3) // {_EST_PNG_DIV}
+                ELSE (w * h * 3) // {_EST_JPEG_DIV} END::BIGINT
+             AS est_stored_bytes
+    FROM read_parquet('{_IMAGES_META}')
+    """,
+)
+def image_recompress_plan(spark, sf_dir):
+    """Storage-planning table for the multimodal ingest: per image,
+    keep / transcode-to-JPEG / drop-as-thumbnail, with the estimated
+    stored bytes after the action — the job that sizes a LAION-style
+    recompression pass BEFORE burning cluster time decoding 10^10
+    payloads. Thumbnails below 48px never help a vision model (LAION
+    filters them at source); large lossless PNGs of photographic
+    content cost ~6x the IO of q85 JPEG for no training benefit, so
+    they transcode; small PNGs
+    (icons, diagrams — where JPEG ringing hurts) keep their format.
+    sum(est_stored_bytes) vs sum of the current estimate is the
+    fleet-IO saving the plan buys.
+
+    Plan shape: a pure codegen projection over the bytes-free metadata
+    table (image_header_sniff supplies these columns from raw payloads
+    when no catalog exists) — zero exchanges, zero Python, scan-speed
+    at any corpus size; the actual transcode is the downstream
+    mapInPandas pass over only the action='recompress_jpeg' slice.
+    Ignores sf_dir (fixture universe, same data as oracle)."""
+    m = spark.read.parquet(_IMAGES_META)
+    decoded = (F.col("w") * F.col("h") * 3).cast("long")
+    small = (F.col("w") < RECOMP_MIN_DIM) | (F.col("h") < RECOMP_MIN_DIM)
+    big_png = (F.col("fmt") == "png") & (
+        F.col("w") * F.col("h") >= RECOMP_PNG_PIXELS
+    )
+    return m.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        decoded.alias("decoded_bytes"),
+        F.when(small, F.lit("drop_small"))
+        .when(big_png, F.lit("recompress_jpeg"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(small, F.lit(0))
+        .when(big_png, decoded / _EST_JPEG_DIV)
+        .when(F.col("fmt") == "png", decoded / _EST_PNG_DIV)
+        .otherwise(decoded / _EST_JPEG_DIV)
+        .cast("long")
+        .alias("est_stored_bytes"),
+    )
