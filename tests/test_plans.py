@@ -38,6 +38,13 @@ SHAPES = [
     ("aspect_bucket_batches", 1, True),
     # recrawl: lag window + agg both keyed on page — ONE exchange total
     ("recrawl_schedule", 1, True),
+    # batch XII: link evidence aggs are dst/host-keyed (countDistinct
+    # expands two-phase); splits/recompress are pure projections
+    ("anchor_text_agg", 4, True),
+    ("host_degree_stats", 4, True),
+    ("dataset_split_assign", 0, True),
+    ("token_entropy_quality", 2, True),
+    ("image_recompress_plan", 0, True),
 ]
 
 
