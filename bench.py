@@ -118,6 +118,12 @@ HEADLINE = [
     "neardup_cluster_stats",
     "token_entropy_quality",
     "image_recompress_plan",
+    # round 3 batch XIII: tokenizer coverage, crawl routing, link
+    # priority, embedding hygiene
+    "oov_rate",
+    "host_lang_mix",
+    "link_priority_score",
+    "embedding_outlier_flag",
 ]
 
 

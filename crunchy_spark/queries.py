@@ -8565,3 +8565,295 @@ def image_recompress_plan(spark, sf_dir):
         .cast("long")
         .alias("est_stored_bytes"),
     )
+
+
+# ===========================================================================
+# XIII. Tokenizer coverage, crawl routing, link-evidence priority,
+#       embedding hygiene (round 3, batch XIII)
+# ===========================================================================
+OOV_HIGH = 0.5  # docs with more than half their tokens OOV are flagged
+# evaluate coverage against the top-K head of the trained dictionary:
+# the fixture corpus's entire 31-token vocabulary fits inside the
+# 256-entry dictionary (OOV would be identically zero), so the gate
+# runs at a tighter K to exercise the OOV path — at production scale
+# this constant is simply the full vocab size
+OOV_VOCAB_K = 16
+
+
+@register(
+    "oov_rate",
+    """
+    WITH v AS (SELECT tok FROM ({VOCAB_SQL}) WHERE vocab_id <= {K}),
+    tok AS (SELECT doc_id, unnest({TOKS_RAW}) AS tok FROM documents)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+           round(count(*) FILTER (WHERE v.tok IS NULL)::DOUBLE
+                 / count(*), 4) AS oov_rate,
+           (round(count(*) FILTER (WHERE v.tok IS NULL)::DOUBLE
+                  / count(*), 4) > {OOV_HIGH}) AS is_high_oov
+    FROM tok t LEFT JOIN v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """.replace("{VOCAB_SQL}", ORACLES["vocab_topk"])
+    .replace("{TOKS_RAW}", _TOKS_RAW_SQL)
+    .replace("{OOV_HIGH}", str(OOV_HIGH))
+    .replace("{K}", str(OOV_VOCAB_K)),
+)
+def oov_rate(spark, sf_dir):
+    """Tokenizer-coverage evaluation: per document, the share of tokens
+    OUTSIDE the trained vocabulary's top-OOV_VOCAB_K head (vocab_topk's
+    oracle SQL composed verbatim, sliced by its dense vocab_id — see
+    the OOV_VOCAB_K note) — the QA table a tokenizer-training pipeline
+    publishes before freezing the vocab: a rising OOV tail means the
+    vocab was fit on a stale or mismatched corpus slice, and per-source
+    OOV aggregates catch a new crawl source whose text the tokenizer
+    fragments into bytes (the quality_ks_drift story at the token
+    level).
+
+    Plan shape: the vocab side is BOUNDED BY CONSTRUCTION
+    (VOCAB_TOPK rows) so its join side broadcasts at any corpus scale —
+    this is the rare case where broadcast is provably safe at 100 TB;
+    the token explode is linear and the per-doc agg is map-side
+    combinable. The membership probe compiles to one
+    BroadcastHashJoin — no per-row set lookup in Python."""
+    v = (
+        QUERIES["vocab_topk"](spark, sf_dir)
+        .filter(F.col("vocab_id") <= OOV_VOCAB_K)
+        .select("tok")
+    )
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    j = toks.join(
+        F.broadcast(v.withColumn("_in_v", F.lit(1))), "tok", "left"
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("_in_v").isNull(), 1)).alias("n_oov"),
+    )
+    rate = F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        rate.alias("oov_rate"),
+        (rate > OOV_HIGH).alias("is_high_oov"),
+    )
+
+
+N_MIX_HOSTS = 30  # host universe for the routing table (matches mirror ops)
+
+
+@register(
+    "host_lang_mix",
+    """
+    WITH li AS ({LANG_SQL}),
+    h AS (SELECT 'h' || (doc_id % {NH})::VARCHAR AS host, pred_lang
+          FROM li),
+    g AS (SELECT host, pred_lang, count(*) AS n_docs
+          FROM h GROUP BY host, pred_lang),
+    t AS (SELECT *, sum(n_docs) OVER (PARTITION BY host) AS host_docs,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n_docs DESC, pred_lang) AS r
+          FROM g)
+    SELECT host, pred_lang, n_docs, host_docs::BIGINT AS host_docs,
+           round(n_docs::DOUBLE / host_docs, 4) AS share,
+           (r = 1) AS is_dominant
+    FROM t
+    """.replace("{LANG_SQL}", ORACLES["lang_id"]).replace(
+        "{NH}", str(N_MIX_HOSTS)
+    ),
+)
+def host_lang_mix(spark, sf_dir):
+    """Per-host language mix — the crawl ROUTING table: which hosts
+    yield which languages (as PREDICTED by the lang_id classifier the
+    pipeline actually runs, its oracle SQL composed verbatim), each
+    host's dominant language and its share. This is how a multilingual
+    crawl allocates budget against corpus_mix_temperature's quotas: if
+    the mix wants more 'de' and h7 is 0.9-dominant 'de', h7's frontier
+    budget rises; a host whose dominant share drops between crawls is a
+    template/parking-page rot signal.
+
+    Plan shape: the classifier's projection collapses to a (host,
+    pred_lang) grid by one map-side-combinable agg — at most
+    hosts x langs rows; BOTH windows (host total, dominance rank) run
+    over that bounded grid, never the corpus. The corpus is scanned
+    once (lang_id is a pure projection over the scan)."""
+    li = QUERIES["lang_id"](spark, sf_dir).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % N_MIX_HOSTS).cast("string")).alias(
+            "host"
+        ),
+        "pred_lang",
+    )
+    g = li.groupBy("host", "pred_lang").agg(F.count("*").alias("n_docs"))
+    wt = Window.partitionBy("host")
+    wr = Window.partitionBy("host").orderBy(F.desc("n_docs"), F.asc("pred_lang"))
+    t = g.withColumn("host_docs", F.sum("n_docs").over(wt)).withColumn(
+        "r", F.row_number().over(wr)
+    )
+    return t.select(
+        "host",
+        "pred_lang",
+        "n_docs",
+        "host_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("host_docs"), 4).alias(
+            "share"
+        ),
+        (F.col("r") == 1).alias("is_dominant"),
+    )
+
+
+@register(
+    "link_priority_score",
+    f"""
+    WITH a AS ({{ANCHOR_SQL}}),
+    hd AS ({{HOST_SQL}})
+    SELECT a.doc_id,
+           a.n_inlinks, a.n_src_hosts,
+           round(ln(1 + a.n_inlinks)
+                 * (a.n_src_hosts::DOUBLE / a.n_inlinks)
+                 * (hd.in_hosts::DOUBLE / hd.in_edges), 4) AS priority
+    FROM a
+    JOIN hd ON hd.host = 'h' || (a.doc_id % {N_LINK_HOSTS})::VARCHAR
+    """.replace("{ANCHOR_SQL}", ORACLES["anchor_text_agg"]).replace(
+        "{HOST_SQL}", ORACLES["host_degree_stats"]
+    ),
+)
+def link_priority_score(spark, sf_dir):
+    """Link-evidence frontier priority — the score the north-star
+    scheduler feeds into queue ranking, built ONLY from link structure
+    (available for URLs never yet fetched, which is exactly when a
+    frontier must rank them): ln(1+inlinks) volume, damped by page-
+    level source-host diversity (many links from one host ~ one vote)
+    and by the TARGET host's own in-neighbor diversity (a host fed by
+    two neighbors at high edge volume is a link-farm pattern — the
+    OPIC/TrustRank-family damping). Composes anchor_text_agg and
+    host_degree_stats oracle SQL verbatim, so the score cannot drift
+    from the evidence tables it weights; 4dp rounding pins the float
+    product cross-engine.
+
+    Plan shape: union of its parts plus ONE host-keyed equi join of the
+    page table against the host-universe-sized degree table (broadcast
+    at any realistic host count) and a pure projection — no new
+    corpus-sized exchange, no window. At 10^10 URLs the score column
+    feeds politeness_schedule's queue_rank directly."""
+    a = QUERIES["anchor_text_agg"](spark, sf_dir).select(
+        "doc_id", "n_inlinks", "n_src_hosts"
+    )
+    hd = QUERIES["host_degree_stats"](spark, sf_dir).select(
+        "host", "in_edges", "in_hosts"
+    )
+    j = a.withColumn(
+        "host",
+        F.concat(F.lit("h"), (F.col("doc_id") % N_LINK_HOSTS).cast("string")),
+    ).join(F.broadcast(hd), "host")
+    pr = F.round(
+        F.log(1 + F.col("n_inlinks"))
+        * (F.col("n_src_hosts").cast("double") / F.col("n_inlinks"))
+        * (F.col("in_hosts").cast("double") / F.col("in_edges")),
+        4,
+    )
+    return j.select("doc_id", "n_inlinks", "n_src_hosts", pr.alias("priority"))
+
+
+EMB_OUTLIER_Z = 2.0  # z < -2 from the own-label centroid flags the vector
+
+
+@register(
+    "embedding_outlier_flag",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    cent AS (SELECT label AS ck, r.i, round(avg(v[r.i]), 6) AS cv
+             FROM e CROSS JOIN range(1, {EMB_DIM + 1}) r(i)
+             GROUP BY 1, 2),
+    carr AS (SELECT ck, list(cv ORDER BY i) AS c FROM cent GROUP BY ck),
+    s AS (SELECT vec_id, label,
+                 round(list_dot_product(v, c)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(c, c))), 6) AS cos_centroid
+          FROM e JOIN carr ON e.label = carr.ck),
+    st AS (SELECT label, avg(cos_centroid) AS mu,
+                  stddev_pop(cos_centroid) AS sigma
+           FROM s GROUP BY label)
+    SELECT s.vec_id, s.label, s.cos_centroid,
+           round((s.cos_centroid - st.mu) / st.sigma, 4) AS z,
+           (round((s.cos_centroid - st.mu) / st.sigma, 4)
+              < -{EMB_OUTLIER_Z}) AS is_outlier
+    FROM s JOIN st ON s.label = st.label
+    WHERE st.sigma > 0
+    """,
+)
+def embedding_outlier_flag(spark, sf_dir):
+    """Embedding-hygiene gate before ANN indexing / semantic dedup:
+    each vector's cosine to its OWN label centroid, z-scored within the
+    label, flagging z < -2 (unusually far from its class). Mislabeled
+    vectors, failed encodes, and cross-class contamination sit in that
+    tail, and they poison IVF cell assignments and semdedup clusters if
+    they reach the index — production vector pipelines run exactly this
+    intra-class outlier sweep before training centroids. (The classic
+    norm-z variant is degenerate on unit-normalized embeddings — this
+    corpus, like any cosine-metric store, has l2 ≡ 1 — so the distance
+    statistic must come from direction, not magnitude.) The
+    zero_shot_label_match prototypes are reused conceptually: same
+    centroid construction, but each vector scores only its own class,
+    an equi join instead of the K-way broadcast scan.
+
+    Plan shape: centroids from one posexplode (label, dim) map-side-
+    combinable agg (K x EMB_DIM rows); the label-keyed centroid and
+    stats tables are LABEL-sized — both ride BroadcastHashJoins at any
+    corpus scale; per-vector cosine is a codegen'd array fold (zip_with
+    + aggregate, no Python); the stats agg (avg/stddev_pop) is
+    mergeable. The vectors shuffle zero times."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "val"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    # s feeds BOTH the stats agg and the flag-back join — materialize it
+    # once so the array-fold cosine isn't recomputed per consumer (the
+    # repo's shared-subtree pattern; also halves the parquet scans)
+    s = (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("v"), F.col("c"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("c"), F.col("c")))
+                ),
+                6,
+            ).alias("cos_centroid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    st = s.groupBy("label").agg(
+        F.avg("cos_centroid").alias("mu"),
+        F.stddev_pop("cos_centroid").alias("sigma"),
+    )
+    j = s.join(F.broadcast(st.filter(F.col("sigma") > 0)), "label")
+    z = F.round((F.col("cos_centroid") - F.col("mu")) / F.col("sigma"), 4)
+    return j.select(
+        "vec_id",
+        "label",
+        "cos_centroid",
+        z.alias("z"),
+        (z < -EMB_OUTLIER_Z).alias("is_outlier"),
+    )

@@ -45,6 +45,13 @@ SHAPES = [
     ("dataset_split_assign", 0, True),
     ("token_entropy_quality", 2, True),
     ("image_recompress_plan", 0, True),
+    # batch XIII: vocab/centroid/degree sides are bounded -> broadcast;
+    # corpus-sized aggs stay keyed and map-side combinable
+    ("oov_rate", 2, True),
+    ("host_lang_mix", 2, True),
+    ("link_priority_score", 7, True),
+    # visible plan after the checkpointed cosine subtree: one label agg
+    ("embedding_outlier_flag", 1, True),
 ]
 
 

@@ -1,0 +1,132 @@
+"""Round-3 batch XIII: tokenizer coverage (OOV), crawl routing
+(host language mix), link-evidence frontier priority, and embedding
+hygiene (each also oracle-checked in test_queries_oracle.py — these
+pin the BEHAVIORAL invariants the hash alone doesn't state)."""
+
+import math
+from collections import defaultdict
+
+from crunchy_spark.queries import (
+    EMB_OUTLIER_Z,
+    N_MIX_HOSTS,
+    OOV_HIGH,
+    OOV_VOCAB_K,
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oov_rate_bounds_and_coverage(spark):
+    rows = QUERIES["oov_rate"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        # engines round HALF_UP at 4dp; python round() is banker's, so
+        # compare to the unrounded ratio within the rounding quantum
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) <= 5.0001e-5
+        assert r["is_high_oov"] == (r["oov_rate"] > OOV_HIGH)
+    # the vocab head must cover MOST token mass (Zipf concentration)
+    # while the 15 tail types keep OOV strictly positive
+    tot = sum(r["n_tokens"] for r in rows)
+    oov = sum(r["n_oov"] for r in rows)
+    assert 0 < oov < 0.5 * tot
+
+
+def test_oov_consistent_with_vocab(spark):
+    """A doc made ONLY of top-vocab tokens has oov_rate 0 — cross-check
+    a few docs token-by-token against the registered vocab."""
+    vocab = {
+        r["tok"]
+        for r in QUERIES["vocab_topk"](spark, SF).collect()
+        if r["vocab_id"] <= OOV_VOCAB_K
+    }
+    assert len(vocab) == OOV_VOCAB_K
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["oov_rate"](spark, SF).collect()
+    }
+    for d in docs:
+        toks = d["text"].lower().split()
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert got[d["doc_id"]]["n_oov"] == n_oov
+        assert got[d["doc_id"]]["n_tokens"] == len(toks)
+
+
+def test_host_lang_mix_is_a_routing_table(spark):
+    rows = QUERIES["host_lang_mix"](spark, SF).collect()
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r)
+    assert len(by_host) <= N_MIX_HOSTS
+    n_docs_total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for host, hrows in by_host.items():
+        host_docs = hrows[0]["host_docs"]
+        assert all(r["host_docs"] == host_docs for r in hrows)
+        assert sum(r["n_docs"] for r in hrows) == host_docs
+        assert abs(sum(r["share"] for r in hrows) - 1.0) < 1e-2
+        doms = [r for r in hrows if r["is_dominant"]]
+        assert len(doms) == 1  # exactly one dominant language per host
+        assert doms[0]["n_docs"] == max(r["n_docs"] for r in hrows)
+
+
+def test_link_priority_score_semantics(spark):
+    rows = QUERIES["link_priority_score"](spark, SF).collect()
+    anchor = {
+        r["doc_id"]: r for r in QUERIES["anchor_text_agg"](spark, SF).collect()
+    }
+    assert len(rows) == len(anchor)  # every linked-to page is scored
+    for r in rows:
+        a = anchor[r["doc_id"]]
+        assert r["n_inlinks"] == a["n_inlinks"]
+        assert r["priority"] > 0
+        # diversity damping: priority can never exceed raw ln(1+inlinks)
+        assert r["priority"] <= round(math.log(1 + r["n_inlinks"]), 4) + 1e-9
+    # the score must actually discriminate (not constant): the affine
+    # link map yields near-uniform in-degrees (2-4), so distinct
+    # (inlinks, diversity, host-damp) combinations number ~8 at sf0.001
+    assert len({r["priority"] for r in rows}) > 5
+
+
+def test_embedding_outlier_flag_zscores(spark):
+    rows = QUERIES["embedding_outlier_flag"](spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vecs  # every label has directional variance
+    flagged = [r for r in rows if r["is_outlier"]]
+    for r in rows:
+        assert -1.000001 <= r["cos_centroid"] <= 1.000001
+        assert r["is_outlier"] == (r["z"] < -EMB_OUTLIER_Z)
+    # z-scores per label must be standardized: mean ~ 0
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append(r)
+    for label, lrows in by_label.items():
+        zs = [r["z"] for r in lrows]
+        assert abs(sum(zs) / len(zs)) < 1e-2
+        # recompute the z from the label's own cos values
+        cs = [r["cos_centroid"] for r in lrows]
+        mu = sum(cs) / len(cs)
+        sd = math.sqrt(sum((x - mu) ** 2 for x in cs) / len(cs))
+        for r in lrows:
+            assert abs(r["z"] - (r["cos_centroid"] - mu) / sd) < 1e-3
+    # a one-sided 2-sigma gate flags a small minority, not nothing
+    assert 0 < len(flagged) < 0.15 * len(rows)
+
+
+def test_batch13_oracles_at_driver_scale(spark):
+    """Driver-gate mirror at sf0.01 for batch XIII."""
+    from crunchy_spark.queries import ORACLES
+    from tests.oracle_util import compare, duck_conn
+
+    sf01 = "/root/testdata/sf0.01"
+    con = duck_conn(sf01)
+    for name in (
+        "oov_rate",
+        "host_lang_mix",
+        "link_priority_score",
+        "embedding_outlier_flag",
+    ):
+        compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
