@@ -124,6 +124,7 @@ HEADLINE = [
     "host_lang_mix",
     "link_priority_score",
     "embedding_outlier_flag",
+    "frontier_next_fetch",
 ]
 
 

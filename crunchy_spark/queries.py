@@ -8857,3 +8857,58 @@ def embedding_outlier_flag(spark, sf_dir):
         z.alias("z"),
         (z < -EMB_OUTLIER_Z).alias("is_outlier"),
     )
+
+
+FETCH_SLOTS_PER_HOST = 4  # per-host shortlist depth for the link-ranked round
+
+
+@register(
+    "frontier_next_fetch",
+    f"""
+    WITH p AS ({{PRIORITY_SQL}}),
+    r AS (SELECT doc_id,
+                 'h' || (doc_id % {N_LINK_HOSTS})::VARCHAR AS host,
+                 priority,
+                 row_number() OVER (PARTITION BY doc_id % {N_LINK_HOSTS}
+                                    ORDER BY priority DESC, doc_id) AS fetch_rank
+          FROM p)
+    SELECT doc_id, host, priority, fetch_rank
+    FROM r WHERE fetch_rank <= {FETCH_SLOTS_PER_HOST}
+    """.replace("{PRIORITY_SQL}", ORACLES["link_priority_score"]),
+)
+def frontier_next_fetch(spark, sf_dir):
+    """The capstone scheduling decision the link-evidence stack exists
+    for: per host, the top-{FETCH_SLOTS_PER_HOST} never-fetched pages
+    by link_priority_score — the shortlist the next crawl round fetches
+    within each host's politeness budget. Composes
+    link_priority_score's oracle SQL verbatim (which itself composes
+    anchor_text_agg + host_degree_stats), so the fetch list provably
+    implements the priority it claims: link evidence -> page score ->
+    host-bucketed rank -> budget cut, end to end. This is the
+    link-aware twin of politeness_schedule (which ranks by stored
+    queue_rank): a frontier runs BOTH — queue_rank for crawl-order
+    parity on known work, link priority for ordering newly discovered
+    URLs that have no history yet.
+
+    Plan shape: its parts plus ONE host-keyed window whose rank filter
+    Catalyst rewrites to WindowGroupLimit — every map partition caps
+    each host at {FETCH_SLOTS_PER_HOST} rows BEFORE the exchange, so
+    the window's shuffle carries at most hosts x slots x partitions
+    rows, not the frontier (the politeness_schedule discipline; at
+    pathological host skew the adaptive salting of
+    frontier.select_fetchable is the documented swap)."""
+    p = QUERIES["link_priority_score"](spark, sf_dir)
+    w = Window.partitionBy(F.col("doc_id") % N_LINK_HOSTS).orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    return (
+        p.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % N_LINK_HOSTS).cast("string")
+            ).alias("host"),
+            "priority",
+        )
+        .withColumn("fetch_rank", F.row_number().over(w))
+        .filter(F.col("fetch_rank") <= FETCH_SLOTS_PER_HOST)
+    )

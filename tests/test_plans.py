@@ -52,6 +52,8 @@ SHAPES = [
     ("link_priority_score", 7, True),
     # visible plan after the checkpointed cosine subtree: one label agg
     ("embedding_outlier_flag", 1, True),
+    # link_priority_score's 7 plus one host-keyed window exchange
+    ("frontier_next_fetch", 8, True),
 ]
 
 

@@ -128,5 +128,54 @@ def test_batch13_oracles_at_driver_scale(spark):
         "host_lang_mix",
         "link_priority_score",
         "embedding_outlier_flag",
+        "frontier_next_fetch",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
+
+
+def test_frontier_next_fetch_budget_and_order(spark):
+    from crunchy_spark.queries import FETCH_SLOTS_PER_HOST
+
+    from crunchy_spark.queries import N_LINK_HOSTS
+
+    rows = QUERIES["frontier_next_fetch"](spark, SF).collect()
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r)
+    assert len(by_host) <= N_LINK_HOSTS
+    for host, hrows in by_host.items():
+        assert len(hrows) <= FETCH_SLOTS_PER_HOST
+        hrows.sort(key=lambda r: r["fetch_rank"])
+        # contiguous ranks from 1, ordered by priority desc
+        assert [r["fetch_rank"] for r in hrows] == list(range(1, len(hrows) + 1))
+        prios = [r["priority"] for r in hrows]
+        assert prios == sorted(prios, reverse=True)
+    # the shortlist is the TOP of the host's candidates: no unfetched
+    # page outside the list may out-rank a listed one
+    scores = {
+        r["doc_id"]: r for r in QUERIES["link_priority_score"](spark, SF).collect()
+    }
+    from crunchy_spark.queries import N_LINK_HOSTS as NH
+
+    listed = {r["doc_id"] for r in rows}
+    best_unlisted = defaultdict(float)
+    for doc_id, r in scores.items():
+        if doc_id not in listed:
+            h = f"h{doc_id % NH}"
+            best_unlisted[h] = max(best_unlisted[h], r["priority"])
+    for host, hrows in by_host.items():
+        if len(hrows) == FETCH_SLOTS_PER_HOST and host in best_unlisted:
+            assert best_unlisted[host] <= hrows[-1]["priority"] + 1e-9
+
+
+def test_frontier_next_fetch_plan_has_window_group_limit(spark):
+    """The rank<=K filter must compile to WindowGroupLimit (map-side
+    per-host cap BEFORE the window exchange — the politeness_schedule
+    discipline)."""
+    plan = (
+        QUERIES["frontier_next_fetch"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
