@@ -1,0 +1,151 @@
+"""Cuckoo-filter URL-seen store (crunchy_spark/cuckoo.py): the
+north_star's "Bloom/cuckoo" second option — same advisory contract as
+bloom.py plus DELETION (TTL recrawl eviction). Pins: no false
+negatives, FPR bound, deterministic build, pair-closure under the XOR
+displacement, delete semantics, and filter_unseen equivalence with the
+exact anti-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crunchy_spark.cuckoo import (
+    DEFAULT_M_BUCKETS,
+    FP_MASK,
+    SLOTS_PER_BUCKET,
+    _g,
+    build_cuckoo,
+    delete_keys,
+    filter_unseen_cuckoo,
+    probe_cuckoo,
+)
+
+N_KEYS = 8000  # ~0.49 load at 1024 buckets x 16 slots
+
+
+def _keys(spark, n, offset=0):
+    """Deterministic sha-like int60 keys (same derivation family as the
+    engine's url fingerprints)."""
+    return spark.range(n).select(
+        F.conv(
+            F.substring(F.sha1(F.concat(F.lit("k"), (F.col("id") + offset))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("sha_int")
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    keys = _keys(spark, N_KEYS).localCheckpoint()
+    filt, ovf = build_cuckoo(keys)
+    return keys, filt.localCheckpoint(), ovf.localCheckpoint()
+
+
+def test_no_false_negatives(spark, built):
+    keys, filt, ovf = built
+    probed = probe_cuckoo(keys, filt, ovf)
+    assert probed.filter(~F.col("_maybe_seen")).count() == 0
+
+
+def test_fpr_bounded(spark, built):
+    _, filt, ovf = built
+    fresh = _keys(spark, 20000, offset=10_000_000)
+    hits = probe_cuckoo(fresh, filt, ovf).filter(F.col("_maybe_seen")).count()
+    # theoretical ~ 2 * SLOTS / 2^FP_BITS ~ 0.8% at this load; allow 4x
+    assert hits / 20000 < 0.03
+
+
+def test_overflow_small_and_capacity_respected(spark, built):
+    _, filt, ovf = built
+    assert ovf.count() < 0.01 * N_KEYS  # ~half load: overflow ~ none
+    over = filt.filter(F.size("fps") > SLOTS_PER_BUCKET).count()
+    assert over == 0  # hard slot cap per bucket
+    total = filt.select(F.sum(F.size("fps"))).first()[0] + ovf.count()
+    assert total == N_KEYS  # every key stored exactly once
+
+
+def test_build_deterministic(spark, built):
+    keys, filt, _ = built
+    filt2, _ = build_cuckoo(keys.repartition(7))  # different partitioning
+    a = {tuple([r["bucket"], tuple(r["fps"])]) for r in filt.collect()}
+    b = {tuple([r["bucket"], tuple(r["fps"])]) for r in filt2.collect()}
+    assert a == b
+
+
+def test_pair_closure_under_xor(spark):
+    """b1 XOR g(fp) applied twice returns b1 for every (b1, fp) — the
+    property that makes set-at-a-time deletion sound."""
+    m = DEFAULT_M_BUCKETS
+    d = (
+        spark.range(5000)
+        .select(
+            (F.col("id") % m).cast("int").alias("b1"),
+            (F.col("id") % FP_MASK + 1).cast("int").alias("fp"),
+        )
+        .withColumn("b2", F.col("b1").bitwiseXOR(_g(m)))
+    )
+    bad = d.filter(
+        (F.col("b2") < 0)
+        | (F.col("b2") >= m)
+        | (F.col("b2").bitwiseXOR(_g(m)) != F.col("b1"))
+    ).count()
+    assert bad == 0
+
+
+def test_delete_evicts_without_false_negatives(spark, built):
+    keys, filt, ovf = built
+    dels = keys.limit(1000).localCheckpoint()
+    remaining = keys.join(dels, "sha_int", "left_anti")
+    nf, no = delete_keys(filt, ovf, dels)
+    nf = nf.localCheckpoint()
+    no = no.localCheckpoint()
+    # exactly one instance removed per deleted key
+    total = nf.select(F.sum(F.size("fps"))).first()[0] + no.count()
+    assert total == N_KEYS - 1000
+    # remaining keys: still zero false negatives
+    assert (
+        probe_cuckoo(remaining, nf, no).filter(~F.col("_maybe_seen")).count() == 0
+    )
+    # deleted keys now report unseen except fingerprint-collision FPs
+    still = probe_cuckoo(dels, nf, no).filter(F.col("_maybe_seen")).count()
+    assert still / 1000 < 0.05
+
+
+def test_filter_unseen_equals_exact_anti_join(spark, built):
+    keys, filt, ovf = built
+    # candidates: half seen, half new, plus extra columns that must ride
+    cands = _keys(spark, 4000, offset=0).unionByName(
+        _keys(spark, 4000, offset=10_000_000)
+    ).withColumn("payload", F.col("sha_int") % 97)
+    got = filter_unseen_cuckoo(cands, keys, filt, ovf)
+    want = cands.join(keys, "sha_int", "left_anti")
+    assert got.columns == cands.columns  # contract: same schema out
+    assert got.count() == want.count() == 4000
+    assert got.exceptAll(want).count() == 0
+
+
+def test_non_pow2_buckets_rejected(spark):
+    with pytest.raises(ValueError):
+        build_cuckoo(_keys(spark, 10), m_buckets=1000)
+
+
+def test_recrawl_ttl_eviction_flow(spark, built):
+    """The end-to-end reason cuckoo exists: pages past their freshness
+    TTL (recrawl_schedule decides which) are EVICTED from the seen
+    filter and the seen table, and the very next scheduling round
+    admits them again — impossible with the bloom bitmap short of a
+    full rebuild."""
+    keys, filt, ovf = built
+    recrawl = keys.limit(500).localCheckpoint()  # TTL-expired slice
+    nf, no = delete_keys(filt, ovf, recrawl)
+    seen_after = keys.join(recrawl, "sha_int", "left_anti")
+    brand_new = _keys(spark, 500, offset=50_000_000)
+    cands = recrawl.unionByName(brand_new)
+    admitted = filter_unseen_cuckoo(cands, seen_after, nf, no)
+    # every TTL-expired page and every new page is schedulable again
+    assert admitted.count() == 1000
+    # while still-fresh pages stay deduped
+    fresh_dup = keys.exceptAll(recrawl).limit(500)
+    assert filter_unseen_cuckoo(fresh_dup, seen_after, nf, no).count() == 0
