@@ -262,3 +262,72 @@ def filter_unseen_cuckoo(
     probed = probe_cuckoo(candidates, filt, overflow, m_buckets)
     cond = (probed["sha_int"] == seen_keys["sha_int"]) & probed["_maybe_seen"]
     return probed.join(seen_keys, cond, "left_anti").drop("_maybe_seen")
+
+
+def insert_keys(
+    filt: DataFrame,
+    overflow: DataFrame,
+    new_keys: DataFrame,
+    m_buckets: int = DEFAULT_M_BUCKETS,
+    slots: int = SLOTS_PER_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental insert of a round's NEW keys into an existing filter
+    — the full lifecycle the bloom's append-only LSM segments
+    approximate: one mutable filter, O(delta + touched buckets) per
+    round, no per-round segment list for the probe to walk and no
+    compaction debt. Same two-phase deterministic placement as
+    build_cuckoo, but each phase ranks against the bucket's REMAINING
+    capacity (slots - existing fingerprints); only buckets that
+    actually receive a fingerprint are rewritten. Keys that fit
+    neither bucket append to the exact overflow stash.
+
+    Not bit-identical to rebuilding from the union (a fresh build
+    ranks all keys together; incremental placement favors incumbents)
+    — irrelevant to the contract: membership, FPR, slot caps, and
+    delete semantics hold identically, which is what the tests pin."""
+    _check_m(m_buckets)
+    occ = filt.select("bucket", F.size("fps").alias("used"))
+    d = _with_slots(new_keys.select("sha_int"), m_buckets).localCheckpoint(
+        eager=False
+    )
+    w1 = Window.partitionBy("b1").orderBy("sha_int")
+    r1 = (
+        d.join(occ.withColumnRenamed("bucket", "b1"), "b1", "left")
+        .withColumn("rk1", F.row_number().over(w1))
+        .withColumn("cap1", F.lit(slots) - F.coalesce("used", F.lit(0)))
+    )
+    placed1 = r1.filter(F.col("rk1") <= F.col("cap1")).select(
+        F.col("b1").alias("bucket"), "fp", "sha_int"
+    )
+    # capacity consumed in this round's phase 1, per bucket
+    used1 = placed1.groupBy("bucket").agg(F.count("*").alias("u1"))
+    spill = r1.filter(F.col("rk1") > F.col("cap1")).drop("used", "rk1", "cap1")
+    w2 = Window.partitionBy("b2").orderBy("sha_int")
+    r2 = (
+        spill.join(occ.withColumnRenamed("bucket", "b2"), "b2", "left")
+        .join(used1.withColumnRenamed("bucket", "b2"), "b2", "left")
+        .withColumn("rk2", F.row_number().over(w2))
+        .withColumn(
+            "cap2",
+            F.lit(slots)
+            - F.coalesce("used", F.lit(0))
+            - F.coalesce("u1", F.lit(0)),
+        )
+    )
+    placed2 = r2.filter(F.col("rk2") <= F.col("cap2")).select(
+        F.col("b2").alias("bucket"), "fp", "sha_int"
+    )
+    new_overflow = overflow.unionByName(
+        r2.filter(F.col("rk2") > F.col("cap2")).select("sha_int")
+    )
+    adds = placed1.unionByName(placed2).select("bucket", "fp")
+    touched = adds.select("bucket").distinct()
+    merged = (
+        filt.join(touched, "bucket")
+        .select("bucket", F.explode("fps").alias("fp"))
+        .unionByName(adds)
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("fp")).alias("fps"))
+    )
+    new_filt = filt.join(touched, "bucket", "left_anti").unionByName(merged)
+    return new_filt, new_overflow

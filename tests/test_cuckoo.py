@@ -149,3 +149,35 @@ def test_recrawl_ttl_eviction_flow(spark, built):
     # while still-fresh pages stay deduped
     fresh_dup = keys.exceptAll(recrawl).limit(500)
     assert filter_unseen_cuckoo(fresh_dup, seen_after, nf, no).count() == 0
+
+
+def test_incremental_insert_lifecycle(spark, built):
+    """build -> insert delta -> delete TTL slice: the full mutable
+    lifecycle, with exact instance accounting and zero false negatives
+    at every step."""
+    from crunchy_spark.cuckoo import insert_keys
+
+    keys, filt, ovf = built
+    delta = _keys(spark, 2000, offset=20_000_000).localCheckpoint()
+    nf, no = insert_keys(filt, ovf, delta)
+    nf, no = nf.localCheckpoint(), no.localCheckpoint()
+    total = nf.select(F.sum(F.size("fps"))).first()[0] + no.count()
+    assert total == N_KEYS + 2000  # every key stored exactly once
+    assert nf.filter(F.size("fps") > SLOTS_PER_BUCKET).count() == 0
+    both = keys.unionByName(delta)
+    assert probe_cuckoo(both, nf, no).filter(~F.col("_maybe_seen")).count() == 0
+    # incumbents were never displaced: untouched buckets identical
+    before = {r["bucket"]: tuple(r["fps"]) for r in filt.collect()}
+    after = {r["bucket"]: tuple(r["fps"]) for r in nf.collect()}
+    for b, fps in before.items():
+        assert set(fps) <= set(after.get(b, ()))  # supersets only
+    # now evict the ORIGINAL keys' TTL slice from the merged filter
+    dels = keys.limit(300).localCheckpoint()
+    nf2, no2 = delete_keys(nf, no, dels)
+    total2 = nf2.select(F.sum(F.size("fps"))).first()[0] + no2.count()
+    assert total2 == N_KEYS + 2000 - 300
+    survivors = both.join(dels, "sha_int", "left_anti")
+    assert (
+        probe_cuckoo(survivors, nf2, no2).filter(~F.col("_maybe_seen")).count()
+        == 0
+    )
