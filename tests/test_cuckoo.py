@@ -181,3 +181,40 @@ def test_incremental_insert_lifecycle(spark, built):
         probe_cuckoo(survivors, nf2, no2).filter(~F.col("_maybe_seen")).count()
         == 0
     )
+
+
+def test_drop_in_for_bloom_in_scheduling_pipeline(spark):
+    """The production seam: canonicalize -> fingerprint -> first-arrival
+    dedup -> seen filter. With the SAME candidates and seen set, the
+    cuckoo-backed filter_unseen must select exactly the rows the
+    bloom-backed one does (both are advisory + exact anti-join, so the
+    outputs are equal BY CONTRACT, not approximately)."""
+    from crunchy_spark.bloom import build_bloom, filter_unseen
+    from crunchy_spark.frontier import first_arrival
+    from crunchy_spark.urlnorm import with_url_identity
+
+    frontier = spark.range(3000).select(
+        F.col("id").alias("seq"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 40).cast("string"),
+            F.lit(".crunchbase.com/organization/co-"),
+            F.format_string("%06d", (F.col("id") / 2).cast("long")),
+        ).alias("url"),
+        (F.col("id") % 3).cast("int").alias("queue_rank"),
+    )
+    ident = with_url_identity(frontier, "url").select(
+        "sha_int", "seq", "host", "queue_rank"
+    )
+    dedup = first_arrival(ident, "sha_int", ("seq",)).localCheckpoint()
+    seen = dedup.filter(F.col("seq") % 5 == 0).select("sha_int").localCheckpoint()
+    bloom = build_bloom(seen).localCheckpoint()
+    cf, co = build_cuckoo(seen)
+    cf, co = cf.localCheckpoint(), co.localCheckpoint()
+    via_bloom = filter_unseen(dedup, seen, bloom=bloom)
+    via_cuckoo = filter_unseen_cuckoo(dedup, seen, cf, co)
+    assert sorted(via_bloom.columns) == sorted(via_cuckoo.columns)
+    a = via_bloom.select("sha_int", "seq").collect()
+    b = via_cuckoo.select("sha_int", "seq").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
