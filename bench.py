@@ -125,6 +125,7 @@ HEADLINE = [
     "link_priority_score",
     "embedding_outlier_flag",
     "frontier_next_fetch",
+    "kmv_intersect_diag",
 ]
 
 

@@ -8912,3 +8912,155 @@ def frontier_next_fetch(spark, sf_dir):
         .withColumn("fetch_rank", F.row_number().over(w))
         .filter(F.col("fetch_rank") <= FETCH_SLOTS_PER_HOST)
     )
+
+
+# KMV/theta sketch: K minimum hash values per set; theta = the K-th
+# smallest (2^60-exhaustive when the set is smaller than K). Set
+# EXPRESSIONS over sketches — here intersection cardinality — are what
+# HLL cannot do (approx_distinct_diag's sketch only unions).
+KMV_K = 32
+_KMV_EXH = 1 << 60  # hashes are 60-bit (md5 15-hex); theta for small sets
+
+
+@register(
+    "kmv_intersect_diag",
+    f"""
+    WITH hu AS (SELECT DISTINCT event_type,
+                       {_MD5_INT_SQL.format(c="user_id::VARCHAR")} AS h
+                FROM events),
+    rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           FROM hu),
+    th AS (SELECT event_type,
+                  coalesce(max(CASE WHEN rk = {KMV_K} THEN h END),
+                           {_KMV_EXH}) AS theta
+           FROM rk GROUP BY event_type),
+    sk AS (SELECT r.event_type, r.h
+           FROM rk r JOIN th t USING (event_type) WHERE r.h < t.theta),
+    est AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                   count(*) AS c
+            FROM sk sa JOIN sk sb
+              ON sa.h = sb.h AND sa.event_type < sb.event_type
+            GROUP BY 1, 2),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*) AS exact_common
+           FROM du a JOIN du b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           coalesce(ex.exact_common, 0) AS exact_common,
+           round(coalesce(est.c, 0)
+                 / (least(ta.theta, tb.theta) / {_KMV_EXH}.0), 4)
+             AS est_common,
+           CASE WHEN coalesce(ex.exact_common, 0) > 0 THEN
+             round(abs(round(coalesce(est.c, 0)
+                       / (least(ta.theta, tb.theta) / {_KMV_EXH}.0), 4)
+                       - ex.exact_common) / ex.exact_common, 4) END
+             AS rel_err
+    FROM th ta
+    JOIN th tb ON ta.event_type < tb.event_type
+    LEFT JOIN est ON est.type_a = ta.event_type AND est.type_b = tb.event_type
+    LEFT JOIN ex ON ex.type_a = ta.event_type AND ex.type_b = tb.event_type
+    """,
+)
+def kmv_intersect_diag(spark, sf_dir):
+    """Distinct-set INTERSECTION estimates from KMV/theta sketches, with
+    the exact answer beside them — the set-expression capability the
+    HLL family lacks (approx_distinct_diag's sketch can only union):
+    "how many distinct users did BOTH a purchase AND a signup" without
+    a user-level self-join. Per event-type pair: exact common-user
+    count, the theta-sketch estimate (count of common sketch hashes
+    below min(theta_a, theta_b), scaled by 1/theta), and the relative
+    error. Deterministic across engines: the "random" hash is md5 (no
+    RNG), theta is an order statistic, and the estimate is a pinned
+    double expression rounded 4dp. Sets smaller than K are exhaustive
+    (theta = 2^60, estimate == exact — pinned in pytest at sf0.001).
+
+    Scale shape: ONE distinct (type, hash) agg is the only corpus-
+    sized work (map-side combinable; at 10^10 rows this is the same
+    agg every distinct count needs); ranking windows partition by
+    event_type over the distinct-hash table and the K-row sketches
+    then drive everything — the pairwise intersection join touches
+    K x types rows, not users. The EXACT side exists for evaluation
+    only and is the thing you drop at 100 TB: that user-level
+    self-join is precisely what the sketch replaces.
+
+    Reference analog: none — Mongo has no sketch ops; this is the
+    DataSketches-style capability (Dasgupta et al., "Theta-Sketch
+    Framework", public) a production OLAP layer adds."""
+    ev = _t(spark, sf_dir, "events")
+    hu = ev.select(
+        "event_type", _md5_int(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    rk = hu.withColumn("rk", F.row_number().over(w))
+    th = rk.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))),
+            F.lit(_KMV_EXH),
+        ).alias("theta")
+    )
+    sk = (
+        rk.join(F.broadcast(th), "event_type")
+        .filter(F.col("h") < F.col("theta"))
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)  # K x types rows, reused per pair
+    )
+    est = (
+        sk.alias("sa")
+        .join(
+            sk.alias("sb"),
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.event_type") < F.col("sb.event_type")),
+        )
+        .groupBy(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_common"))
+    )
+    pairs = (
+        th.alias("ta")
+        .join(
+            th.alias("tb"),
+            F.col("ta.event_type") < F.col("tb.event_type"),
+        )
+        .select(
+            F.col("ta.event_type").alias("type_a"),
+            F.col("tb.event_type").alias("type_b"),
+            F.least("ta.theta", "tb.theta").alias("theta"),
+        )
+    )
+    est_col = F.round(
+        F.coalesce(F.col("c"), F.lit(0))
+        / (F.col("theta") / F.lit(float(_KMV_EXH))),
+        4,
+    )
+    j = pairs.join(est, ["type_a", "type_b"], "left").join(
+        ex, ["type_a", "type_b"], "left"
+    )
+    exact = F.coalesce(F.col("exact_common"), F.lit(0))
+    return j.select(
+        "type_a",
+        "type_b",
+        exact.alias("exact_common"),
+        est_col.alias("est_common"),
+        F.when(
+            exact > 0, F.round(F.abs(est_col - exact) / exact, 4)
+        ).alias("rel_err"),
+    )

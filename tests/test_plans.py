@@ -54,6 +54,10 @@ SHAPES = [
     ("embedding_outlier_flag", 1, True),
     # link_priority_score's 7 plus one host-keyed window exchange
     ("frontier_next_fetch", 8, True),
+    # KMV sketch diag: the only corpus-sized work is the distinct
+    # (type, hash) agg + the evaluation-only exact pair join; the
+    # pair skeleton is a types^2-bounded broadcast nested loop
+    ("kmv_intersect_diag", 9, True),
 ]
 
 

@@ -179,3 +179,35 @@ def test_frontier_next_fetch_plan_has_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_intersect_exhaustive_and_estimation(spark):
+    from crunchy_spark.queries import KMV_K, QUERIES
+
+    # sf0.001: 15 users/type < K=32 -> thetas exhaustive -> est == exact
+    rows = QUERIES["kmv_intersect_diag"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r["est_common"] == float(r["exact_common"])
+        assert r["rel_err"] == 0.0
+    # sf0.01: 150 users/type > K -> true estimation regime, bounded err
+    rows01 = QUERIES["kmv_intersect_diag"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    errs = [r["rel_err"] for r in rows01 if r["rel_err"] is not None]
+    assert errs and max(errs) < 0.35  # ~2 sigma at K=32
+    # the estimate is never the exact path at this scale
+    assert any(r["est_common"] != float(r["exact_common"]) for r in rows01)
+
+
+def test_kmv_driver_scale_oracle(spark):
+    from crunchy_spark.queries import ORACLES
+    from tests.oracle_util import compare, duck_conn
+
+    sf01 = "/root/testdata/sf0.01"
+    compare(
+        QUERIES["kmv_intersect_diag"](spark, sf01),
+        duck_conn(sf01),
+        ORACLES["kmv_intersect_diag"],
+        "kmv_intersect_diag",
+    )
