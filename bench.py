@@ -126,6 +126,8 @@ HEADLINE = [
     "embedding_outlier_flag",
     "frontier_next_fetch",
     "kmv_intersect_diag",
+    "chunk_split",
+    "eval_holdout_sample",
 ]
 
 

@@ -9064,3 +9064,125 @@ def kmv_intersect_diag(spark, sf_dir):
             exact > 0, F.round(F.abs(est_col - exact) / exact, 4)
         ).alias("rel_err"),
     )
+
+
+# RAG/pretraining chunking: fixed-size token windows with overlap so no
+# sentence is orphaned at a boundary; stride = CHUNK - OVERLAP.
+CHUNK_TOKS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKS - CHUNK_OVERLAP
+
+
+@register(
+    "chunk_split",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_RAW_SQL} AS toks,
+                      len({_TOKS_RAW_SQL}) AS n
+               FROM documents),
+    s AS (SELECT doc_id, lang, toks, n,
+                 unnest(range(1, n + 1, {_CHUNK_STRIDE})) AS start
+          FROM t)
+    SELECT doc_id, lang,
+           ((start - 1) / {_CHUNK_STRIDE})::BIGINT AS chunk_id,
+           start::BIGINT AS start_tok,
+           least({CHUNK_TOKS}, n - start + 1)::BIGINT AS n_toks,
+           {_MD5_INT_SQL.format(
+               c=f"array_to_string(list_slice(toks, start, start + {CHUNK_TOKS} - 1), ' ')"
+           )} AS chunk_fp
+    FROM s
+    """,
+)
+def chunk_split(spark, sf_dir):
+    """Fixed-window token chunking with overlap — the splitter every
+    RAG index and long-context pretraining pipeline runs before
+    embedding: {CHUNK_TOKS}-token windows at stride {_CHUNK_STRIDE}
+    ({CHUNK_OVERLAP}-token overlap so boundary sentences appear in two
+    chunks), per chunk a content fingerprint for chunk-level dedup
+    (the dup_span_detect granularity, productized). Every token lands
+    in at least one chunk; chunk boundaries are a pure function of the
+    token sequence — stable under repartition and corpus growth, so
+    chunk ids are durable index keys.
+
+    Plan shape: one projection + one explode of the per-doc start
+    sequence (output rows ~ n_tokens/stride — LINEAR in corpus tokens,
+    smaller than the token explode every LM op already does); the
+    slice/join/hash are codegen array expressions; ZERO exchanges, no
+    Python. At 100 TB this runs at scan speed and writes
+    chunk-partitioned output for the embedding stage."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    s = t.withColumn(
+        "start",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_STRIDE))),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKS)
+    return s.select(
+        "doc_id",
+        "lang",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKS), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_toks"),
+        _md5_int(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# Stable evaluation holdout: bottom-K-by-content-hash per language.
+# Bottom-k sampling is COHERENT under growth (a new doc only enters the
+# sample by having a smaller hash, evicting exactly one) and keyed on
+# the dedup fingerprint so the holdout can never contain two copies of
+# the same text.
+HOLDOUT_K = 20
+
+
+@register(
+    "eval_holdout_sample",
+    f"""
+    WITH fp AS (SELECT doc_id, lang, {_CONTENT_FP_SQL} AS content_fp
+                FROM documents),
+    rep AS (SELECT lang, content_fp, min(doc_id) AS doc_id
+            FROM fp GROUP BY lang, content_fp),
+    rk AS (SELECT lang, content_fp, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY content_fp) AS rk
+           FROM rep)
+    SELECT lang, doc_id, content_fp, rk
+    FROM rk WHERE rk <= {HOLDOUT_K}
+    """,
+)
+def eval_holdout_sample(spark, sf_dir):
+    """Per-language evaluation holdout via bottom-K-by-hash sampling —
+    the KMV sketch's bottom-k mechanics applied to SAMPLING: the K
+    docs with the smallest content fingerprint per language. Three
+    properties a growing crawl needs that random sampling lacks:
+    DETERMINISTIC (no RNG, same sample on every run and every cluster
+    size), COHERENT under growth (a new crawl round changes the sample
+    one eviction at a time, never reshuffles it — human eval annotations
+    stay valid across rounds), and DEDUP-SAFE (keyed on dedup_exact's
+    fingerprint with a min-doc_id representative per duplicate group,
+    so the holdout can never contain the same text twice). The split
+    discipline of dataset_split_assign, specialized to fixed-size eval
+    sets.
+
+    Plan shape: fingerprint projection, one (lang, fp) map-side-
+    combinable agg collapsing duplicate groups, then a lang-keyed
+    rank whose <=K filter compiles to WindowGroupLimit (map partitions
+    cap each language at K rows before the exchange). Nothing is
+    corpus-sized after the first agg."""
+    d = _t(spark, sf_dir, "documents")
+    fp = _md5_int(F.array_join(F.array_sort(_toks_col()), " "))
+    rep = (
+        d.select("doc_id", "lang", fp.alias("content_fp"))
+        .groupBy("lang", "content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    w = Window.partitionBy("lang").orderBy("content_fp")
+    return (
+        rep.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HOLDOUT_K)
+        .select("lang", "doc_id", "content_fp", "rk")
+    )

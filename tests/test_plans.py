@@ -58,6 +58,10 @@ SHAPES = [
     # (type, hash) agg + the evaluation-only exact pair join; the
     # pair skeleton is a types^2-bounded broadcast nested loop
     ("kmv_intersect_diag", 9, True),
+    # chunking is a zero-exchange explode+projection; the holdout is
+    # one dedup agg + one lang-keyed WindowGroupLimit rank
+    ("chunk_split", 0, True),
+    ("eval_holdout_sample", 2, True),
 ]
 
 

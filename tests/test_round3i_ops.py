@@ -129,6 +129,8 @@ def test_batch13_oracles_at_driver_scale(spark):
         "link_priority_score",
         "embedding_outlier_flag",
         "frontier_next_fetch",
+        "chunk_split",
+        "eval_holdout_sample",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -211,3 +213,71 @@ def test_kmv_driver_scale_oracle(spark):
         ORACLES["kmv_intersect_diag"],
         "kmv_intersect_diag",
     )
+
+
+def test_chunk_split_coverage_and_overlap(spark):
+    from crunchy_spark.queries import CHUNK_OVERLAP, CHUNK_TOKS, _CHUNK_STRIDE
+
+    rows = QUERIES["chunk_split"](spark, SF).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].lower().split())
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert set(by_doc) == set(docs)  # every doc chunked
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # contiguous ids from 0, starts at the fixed stride
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == 1 + c["chunk_id"] * _CHUNK_STRIDE
+            assert 1 <= c["n_toks"] <= CHUNK_TOKS
+        # coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_toks"] - 1 == n
+        # consecutive full chunks overlap by exactly CHUNK_OVERLAP
+        for a, b in zip(chunks, chunks[1:]):
+            if a["n_toks"] == CHUNK_TOKS:
+                a_end = a["start_tok"] + a["n_toks"] - 1
+                assert a_end - b["start_tok"] + 1 == CHUNK_OVERLAP
+    # multi-chunk docs exist (avg ~56 tokens at stride 24)
+    assert any(len(c) >= 3 for c in by_doc.values())
+
+
+def test_eval_holdout_sample_properties(spark):
+    from crunchy_spark.queries import HOLDOUT_K
+
+    rows = QUERIES["eval_holdout_sample"](spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, lrows in by_lang.items():
+        assert len(lrows) <= HOLDOUT_K
+        lrows.sort(key=lambda r: r["rk"])
+        fps = [r["content_fp"] for r in lrows]
+        assert fps == sorted(fps)  # bottom-k by hash, in order
+        assert len(set(fps)) == len(fps)  # dedup-safe: no fp twice
+        assert [r["rk"] for r in lrows] == list(range(1, len(lrows) + 1))
+    # determinism under repartition: the sample is a pure set function
+    again = QUERIES["eval_holdout_sample"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # bottom-k coherence: the sample IS the k smallest fps per lang
+    all_fp = defaultdict(set)
+    import duckdb  # reuse the oracle engine for the reference set
+
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""
+        SELECT lang, (('0x' || substr(md5(array_to_string(list_sort(
+          list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')), 1, 15))::UBIGINT)::BIGINT AS fp
+        FROM read_parquet('{SF}/documents.parquet')
+        """
+    ).fetchall()
+    for lang, fpv in ref:
+        all_fp[lang].add(fpv)
+    for lang, lrows in by_lang.items():
+        want = sorted(all_fp[lang])[: len(lrows)]
+        assert [r["content_fp"] for r in lrows] == want
