@@ -128,6 +128,7 @@ HEADLINE = [
     "kmv_intersect_diag",
     "chunk_split",
     "eval_holdout_sample",
+    "quality_calibration",
 ]
 
 

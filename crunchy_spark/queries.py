@@ -9186,3 +9186,93 @@ def eval_holdout_sample(spark, sf_dir):
         .filter(F.col("rk") <= HOLDOUT_K)
         .select("lang", "doc_id", "content_fp", "rk")
     )
+
+
+@register(
+    "quality_calibration",
+    """
+    WITH q AS ({QSCORE_SQL}),
+    r AS ({REP_SQL}),
+    e AS ({ENT_SQL}),
+    dx AS ({DEDUP_SQL}),
+    fp AS (SELECT doc_id, {MD5_TEXT} AS content_fp FROM documents),
+    j AS (SELECT q.doc_id, floor(q.qscore * 10)::INT AS score_bin,
+                 r.is_repetitive, e.is_low_entropy,
+                 (dx.n_dups >= 2) AS is_exact_dup
+          FROM q
+          JOIN r ON q.doc_id = r.doc_id
+          JOIN e ON q.doc_id = e.doc_id
+          JOIN fp ON q.doc_id = fp.doc_id
+          JOIN dx ON fp.content_fp = dx.content_fp)
+    SELECT score_bin,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE is_repetitive) AS n_repetitive,
+           count(*) FILTER (WHERE is_low_entropy) AS n_low_entropy,
+           count(*) FILTER (WHERE is_exact_dup) AS n_exact_dup,
+           round(count(*) FILTER (WHERE is_repetitive)::DOUBLE
+                 / count(*), 4) AS repetitive_share,
+           round(count(*) FILTER (WHERE is_low_entropy)::DOUBLE
+                 / count(*), 4) AS low_entropy_share,
+           round(count(*) FILTER (WHERE is_exact_dup)::DOUBLE
+                 / count(*), 4) AS exact_dup_share
+    FROM j GROUP BY score_bin
+    """.replace("{QSCORE_SQL}", ORACLES["quality_score"])
+    .replace("{REP_SQL}", ORACLES["repetition_quality"])
+    .replace("{ENT_SQL}", ORACLES["token_entropy_quality"])
+    .replace("{DEDUP_SQL}", ORACLES["dedup_exact"])
+    .replace("{MD5_TEXT}", _MD5_INT_SQL.format(c="text")),
+)
+def quality_calibration(spark, sf_dir):
+    """Calibration table for the quality stack: per 0.1-wide
+    quality_score bin, how often do the EXPENSIVE gates fire — the
+    repetition gate (Gopher-style), the entropy gate, and exact-dup
+    membership. This is the table that justifies (or kills) using the
+    cheap score as a pre-filter at 100 TB: if the low bins carry the
+    flagged mass, the pipeline can run the cheap projection first and
+    reserve the explode-heavy gates for the survivors; if not, the
+    score is decoration. The dedup_layer_agreement discipline applied
+    to QUALITY instead of duplication. Composes four registered
+    operators' oracle SQL verbatim, so the calibration cannot drift
+    from the gates it audits.
+
+    Plan shape: four doc-keyed equi joins of tables the constituent
+    plans already produce (no new corpus explode — the gates' own
+    subtrees dominate), one map-side-combinable agg on the 11-bin key.
+    The bin expression is floor(qscore*10) on the SAME 4dp-rounded
+    double in both engines — bit-identical binning."""
+    q = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "qscore")
+    r = QUERIES["repetition_quality"](spark, sf_dir).select(
+        "doc_id", "is_repetitive"
+    )
+    e = QUERIES["token_entropy_quality"](spark, sf_dir).select(
+        "doc_id", "is_low_entropy"
+    )
+    dx = QUERIES["dedup_exact"](spark, sf_dir).select("content_fp", "n_dups")
+    fp = _t(spark, sf_dir, "documents").select(
+        "doc_id", _md5_int(F.col("text")).alias("content_fp")
+    )
+    j = (
+        q.join(r, "doc_id")
+        .join(e, "doc_id")
+        .join(fp, "doc_id")
+        .join(dx, "content_fp")
+        .select(
+            F.floor(F.col("qscore") * 10).cast("int").alias("score_bin"),
+            "is_repetitive",
+            "is_low_entropy",
+            (F.col("n_dups") >= 2).alias("is_exact_dup"),
+        )
+    )
+    cnt = F.count("*")
+    n_rep = F.count(F.when(F.col("is_repetitive"), 1))
+    n_ent = F.count(F.when(F.col("is_low_entropy"), 1))
+    n_dup = F.count(F.when(F.col("is_exact_dup"), 1))
+    return j.groupBy("score_bin").agg(
+        cnt.alias("n_docs"),
+        n_rep.alias("n_repetitive"),
+        n_ent.alias("n_low_entropy"),
+        n_dup.alias("n_exact_dup"),
+        F.round(n_rep.cast("double") / cnt, 4).alias("repetitive_share"),
+        F.round(n_ent.cast("double") / cnt, 4).alias("low_entropy_share"),
+        F.round(n_dup.cast("double") / cnt, 4).alias("exact_dup_share"),
+    )

@@ -62,6 +62,8 @@ SHAPES = [
     # one dedup agg + one lang-keyed WindowGroupLimit rank
     ("chunk_split", 0, True),
     ("eval_holdout_sample", 2, True),
+    # four doc-keyed joins of the constituent gate tables + 11-bin agg
+    ("quality_calibration", 6, True),
 ]
 
 

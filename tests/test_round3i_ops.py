@@ -131,6 +131,7 @@ def test_batch13_oracles_at_driver_scale(spark):
         "frontier_next_fetch",
         "chunk_split",
         "eval_holdout_sample",
+        "quality_calibration",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -281,3 +282,30 @@ def test_eval_holdout_sample_properties(spark):
     for lang, lrows in by_lang.items():
         want = sorted(all_fp[lang])[: len(lrows)]
         assert [r["content_fp"] for r in lrows] == want
+
+
+def test_quality_calibration_accounts_and_binning(spark):
+    rows = QUERIES["quality_calibration"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # bins tile the corpus
+    for r in rows:
+        assert 0 <= r["score_bin"] <= 10
+        for flag, share in (
+            ("n_repetitive", "repetitive_share"),
+            ("n_low_entropy", "low_entropy_share"),
+            ("n_exact_dup", "exact_dup_share"),
+        ):
+            assert 0 <= r[flag] <= r["n_docs"]
+            assert abs(r[share] - r[flag] / r["n_docs"]) <= 5.0001e-5
+    # the table must carry signal: some gate fires somewhere
+    assert sum(r["n_repetitive"] + r["n_low_entropy"] + r["n_exact_dup"]
+               for r in rows) > 0
+    # cross-check one bin against the constituent operators
+    q = {r["doc_id"]: r["qscore"] for r in QUERIES["quality_score"](spark, SF).collect()}
+    rep = {r["doc_id"]: r["is_repetitive"]
+           for r in QUERIES["repetition_quality"](spark, SF).collect()}
+    some_bin = rows[0]["score_bin"]
+    want_docs = [d for d, s in q.items() if int(s * 10) == some_bin]
+    got = next(r for r in rows if r["score_bin"] == some_bin)
+    assert got["n_docs"] == len(want_docs)
+    assert got["n_repetitive"] == sum(1 for d in want_docs if rep[d])
