@@ -129,6 +129,9 @@ HEADLINE = [
     "chunk_split",
     "eval_holdout_sample",
     "quality_calibration",
+    "user_engagement_ewma",
+    "source_relative_quality",
+    "dedup_tier_kappa",
 ]
 
 

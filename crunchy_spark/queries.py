@@ -9276,3 +9276,173 @@ def quality_calibration(spark, sf_dir):
         F.round(n_ent.cast("double") / cnt, 4).alias("low_entropy_share"),
         F.round(n_dup.cast("double") / cnt, 4).alias("exact_dup_share"),
     )
+
+
+# Exponentially-weighted engagement: weight alpha^(steps-behind-latest),
+# alpha chosen so ~last 10 events carry most of the mass.
+EWMA_ALPHA = 0.8
+
+
+@register(
+    "user_engagement_ewma",
+    f"""
+    WITH r AS (SELECT user_id, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS i,
+                      count(*) OVER (PARTITION BY user_id) AS n
+               FROM events)
+    SELECT user_id, max(n)::BIGINT AS n_events,
+           round(sum(value * pow({EWMA_ALPHA}, n - i)), 4) AS ewma_value,
+           round(sum(value * pow({EWMA_ALPHA}, n - i))
+                 * (1 - {EWMA_ALPHA}), 4) AS ewma_normalized
+    FROM r GROUP BY user_id
+    """,
+)
+def user_engagement_ewma(spark, sf_dir):
+    """Time-decayed engagement score per user: each event's value is
+    weighted alpha^(steps behind the user's latest event) and summed —
+    the recency-weighted aggregate every ranking/abuse system keeps
+    (recent behavior dominates, history decays geometrically instead
+    of falling off a cliff at a window edge). The closed form
+    sum(v_i * alpha^(n-i)) is EXACTLY the recurrence
+    ewma := alpha * ewma + v applied in event order, computed
+    set-at-a-time: no per-user iteration, no stateful scan. The same
+    decay drives crawl-side host reputation (a host's recent failures
+    outweigh last month's successes) — this is the mechanics, on the
+    table the fixture set provides.
+
+    Plan shape: ONE user-keyed window pass (rank + count share the
+    exchange) and one map-side-combinable agg — two exchanges total,
+    both on user_id; pow/mult are codegen. 4dp rounding pins the
+    float sum cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    r = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wu).alias("n"),
+    )
+    s = F.sum(F.col("value") * F.pow(F.lit(EWMA_ALPHA), F.col("n") - F.col("i")))
+    return r.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.round(s, 4).alias("ewma_value"),
+        F.round(s * (1 - EWMA_ALPHA), 4).alias("ewma_normalized"),
+    )
+
+
+SRC_QUALITY_LOW_PCT = 0.1  # bottom decile within source is flagged
+
+
+@register(
+    "source_relative_quality",
+    """
+    WITH q AS ({QSCORE_SQL}),
+    s AS (SELECT doc_id, source FROM documents),
+    r AS (SELECT q.doc_id, s.source, q.qscore,
+                 percent_rank() OVER (PARTITION BY s.source
+                                      ORDER BY q.qscore, q.doc_id) AS pct
+          FROM q JOIN s ON q.doc_id = s.doc_id)
+    SELECT doc_id, source, qscore, round(pct, 4) AS pct_in_source,
+           (round(pct, 4) < {LOW}) AS is_source_low
+    FROM r
+    """.replace("{QSCORE_SQL}", ORACLES["quality_score"]).replace(
+        "{LOW}", str(SRC_QUALITY_LOW_PCT)
+    ),
+)
+def source_relative_quality(spark, sf_dir):
+    """Source-RELATIVE quality normalization: each doc's percentile
+    rank within its own source, flagging the bottom decile — the fix
+    for the classic curation failure where one absolute threshold
+    either guts a verbose source or lets a terse one through wholesale
+    (sources have different score distributions; quality_ks_drift
+    MEASURES that, this op CORRECTS for it). Thresholding on
+    within-source percentile keeps the per-source drop rate constant
+    by construction. Composes quality_score's oracle SQL verbatim;
+    (qscore, doc_id) ordering makes the rank tie-free and
+    deterministic.
+
+    Plan shape: one source-keyed window over the scored projection
+    (the corpus exchanges ONCE on source — no SinglePartition; a
+    percentile never needs a global sort when the population is the
+    partition) plus the doc-keyed score join. At 100 TB this is the
+    same two keyed exchanges."""
+    q = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "qscore")
+    s = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("qscore", "doc_id")
+    r = q.join(s, "doc_id").withColumn("pct", F.percent_rank().over(w))
+    return r.select(
+        "doc_id",
+        "source",
+        "qscore",
+        F.round("pct", 4).alias("pct_in_source"),
+        (F.round("pct", 4) < SRC_QUALITY_LOW_PCT).alias("is_source_low"),
+    )
+
+
+@register(
+    "dedup_tier_kappa",
+    """
+    WITH a AS ({AGREE_SQL}),
+    c AS (SELECT count(*) AS n,
+                 count(*) FILTER (WHERE exact_dup AND simhash_near) AS yy,
+                 count(*) FILTER (WHERE exact_dup AND NOT simhash_near) AS yn,
+                 count(*) FILTER (WHERE NOT exact_dup AND simhash_near) AS ny,
+                 count(*) FILTER (WHERE NOT exact_dup AND NOT simhash_near) AS nn
+          FROM a)
+    SELECT n, yy, yn, ny, nn,
+           round((yy + nn)::DOUBLE / n, 4) AS observed_agreement,
+           round(((yy + yn)::DOUBLE * (yy + ny)
+                  + (ny + nn)::DOUBLE * (yn + nn)) / (n::DOUBLE * n), 4)
+             AS chance_agreement,
+           round(((yy + nn)::DOUBLE / n
+                  - ((yy + yn)::DOUBLE * (yy + ny)
+                     + (ny + nn)::DOUBLE * (yn + nn)) / (n::DOUBLE * n))
+                 / (1 - ((yy + yn)::DOUBLE * (yy + ny)
+                         + (ny + nn)::DOUBLE * (yn + nn))
+                        / (n::DOUBLE * n)), 4) AS kappa
+    FROM c
+    """.replace("{AGREE_SQL}", ORACLES["dedup_layer_agreement"]),
+)
+def dedup_tier_kappa(spark, sf_dir):
+    """Cohen's kappa between the exact-dup tier and the SimHash tier
+    over the LSH near-dup pair stream — one number summarizing what
+    dedup_layer_agreement tabulates pair-by-pair: how much the cheap
+    tiers agree BEYOND CHANCE. Raw agreement flatters tiers that both
+    say "no" on almost every pair; kappa corrects for the marginals,
+    which is why annotation pipelines report it instead. A kappa
+    collapse between crawls flags a tier whose threshold has drifted
+    off the corpus (e.g. simhash radius too tight after a language-mix
+    shift) BEFORE it silently changes what dedup removes. Composes
+    dedup_layer_agreement's oracle SQL verbatim.
+
+    Plan shape: the agreement table's own plan, then ONE
+    single-partition fold of four counts (a 1-row reduction — the
+    countif_diagnostics precedent); every term of kappa is exact
+    integer arithmetic until the final 4dp-rounded divisions."""
+    a = QUERIES["dedup_layer_agreement"](spark, sf_dir)
+    c = a.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("exact_dup") & F.col("simhash_near"), 1)).alias("yy"),
+        F.count(F.when(F.col("exact_dup") & ~F.col("simhash_near"), 1)).alias("yn"),
+        F.count(F.when(~F.col("exact_dup") & F.col("simhash_near"), 1)).alias("ny"),
+        F.count(
+            F.when(~F.col("exact_dup") & ~F.col("simhash_near"), 1)
+        ).alias("nn"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("yy") + F.col("nn")) / n
+    pe = (
+        (F.col("yy") + F.col("yn")).cast("double") * (F.col("yy") + F.col("ny"))
+        + (F.col("ny") + F.col("nn")).cast("double") * (F.col("yn") + F.col("nn"))
+    ) / (n * n)
+    return c.select(
+        "n",
+        "yy",
+        "yn",
+        "ny",
+        "nn",
+        F.round(po, 4).alias("observed_agreement"),
+        F.round(pe, 4).alias("chance_agreement"),
+        F.round((po - pe) / (1 - pe), 4).alias("kappa"),
+    )

@@ -64,6 +64,12 @@ SHAPES = [
     ("eval_holdout_sample", 2, True),
     # four doc-keyed joins of the constituent gate tables + 11-bin agg
     ("quality_calibration", 6, True),
+    # ONE user-keyed window exchange (rank/count/agg all share it)
+    ("user_engagement_ewma", 1, True),
+    # ONE source-keyed window over the scored projection
+    ("source_relative_quality", 1, True),
+    # agreement table's plan + the 1-row four-count fold
+    ("dedup_tier_kappa", 4, True),
 ]
 
 

@@ -132,6 +132,9 @@ def test_batch13_oracles_at_driver_scale(spark):
         "chunk_split",
         "eval_holdout_sample",
         "quality_calibration",
+        "user_engagement_ewma",
+        "source_relative_quality",
+        "dedup_tier_kappa",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -309,3 +312,56 @@ def test_quality_calibration_accounts_and_binning(spark):
     got = next(r for r in rows if r["score_bin"] == some_bin)
     assert got["n_docs"] == len(want_docs)
     assert got["n_repetitive"] == sum(1 for d in want_docs if rep[d])
+
+
+def test_user_engagement_ewma_matches_recurrence(spark):
+    from crunchy_spark.queries import EWMA_ALPHA
+
+    rows = {r["user_id"]: r for r in QUERIES["user_engagement_ewma"](spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    assert set(rows) == set(by_user)
+    for uid, es in by_user.items():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        ewma = 0.0
+        for e in es:  # the recurrence the closed form must equal
+            ewma = EWMA_ALPHA * ewma + e["value"]
+        assert rows[uid]["n_events"] == len(es)
+        assert abs(rows[uid]["ewma_value"] - ewma) < 1e-2
+        assert abs(
+            rows[uid]["ewma_normalized"] - ewma * (1 - EWMA_ALPHA)
+        ) < 1e-2
+
+
+def test_source_relative_quality_constant_drop_rate(spark):
+    from crunchy_spark.queries import SRC_QUALITY_LOW_PCT
+
+    rows = QUERIES["source_relative_quality"](spark, SF).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    assert len(by_src) > 1
+    for src, srows in by_src.items():
+        # percentile is rank-consistent with the score ordering
+        srows.sort(key=lambda r: (r["qscore"], r["doc_id"]))
+        pcts = [r["pct_in_source"] for r in srows]
+        assert pcts == sorted(pcts)
+        assert pcts[0] == 0.0 and pcts[-1] <= 1.0
+        low = sum(1 for r in srows if r["is_source_low"])
+        # the FIX the op exists for: per-source drop rate is ~constant
+        # (percentile thresholding), regardless of score distribution
+        assert low / len(srows) <= SRC_QUALITY_LOW_PCT + 2 / len(srows)
+        assert low > 0 or len(srows) < 10
+
+
+def test_dedup_tier_kappa_identities(spark):
+    [r] = QUERIES["dedup_tier_kappa"](spark, SF).collect()
+    assert r["yy"] + r["yn"] + r["ny"] + r["nn"] == r["n"] > 0
+    po, pe, k = r["observed_agreement"], r["chance_agreement"], r["kappa"]
+    assert 0 <= po <= 1 and 0 <= pe <= 1
+    assert abs(k - (po - pe) / (1 - pe)) < 1e-2  # 4dp-rounded identity
+    # the tiers are hierarchical on this corpus (exact => simhash-near),
+    # so agreement must beat chance
+    assert r["yn"] == 0 and k > 0
