@@ -132,6 +132,9 @@ HEADLINE = [
     "user_engagement_ewma",
     "source_relative_quality",
     "dedup_tier_kappa",
+    "funnel_conversion",
+    "retention_cohorts",
+    "triangle_count_hosts",
 ]
 
 

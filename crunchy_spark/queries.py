@@ -9446,3 +9446,229 @@ def dedup_tier_kappa(spark, sf_dir):
         F.round(pe, 4).alias("chance_agreement"),
         F.round((po - pe) / (1 - pe), 4).alias("kappa"),
     )
+
+
+# Funnel steps in order; a later step only counts if it happens strictly
+# after the user's earliest completion of the previous step.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+           GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+           (CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS reached_step
+    FROM u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis: per user, the earliest strictly-ordered
+    view -> click -> purchase chain (each step's timestamp is the
+    earliest occurrence AFTER the previous step's earliest completion)
+    and the furthest step reached — the conversion table every product
+    analytics layer computes, and a sequence-pattern query family the
+    engine didn't cover (event_sessions groups by gaps; this matches
+    ORDER). The greedy earliest-chain rule is the standard funnel
+    semantics (a later view can't resurrect a dead funnel) and makes
+    the result a pure function of the event set.
+
+    Plan shape: K=3 user-keyed aggregates, each one map-side-
+    combinable min over a type-filtered slice joined to the previous
+    frontier — all exchanges on user_id, reused across steps by AQE;
+    no window over raw events, no per-user iteration. At 100 TB each
+    step's filter prunes to one event type BEFORE its join."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = ev.select("user_id").distinct()
+    j = (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    return j.select(
+        "user_id",
+        "t1",
+        "t2",
+        "t3",
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("reached_step"),
+    )
+
+
+_WEEK_S = 7 * 24 * 3600
+_EPOCH0 = "2024-01-01 00:00:00"  # fixture epoch (TESTDATA.md events start)
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH w AS (SELECT user_id,
+                      ((floor(epoch(ts))::BIGINT
+                        - floor(epoch(TIMESTAMP '{_EPOCH0}'))::BIGINT)
+                        // {_WEEK_S})::INT AS week
+               FROM events),
+    first AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+    act AS (SELECT DISTINCT w.user_id, f.cohort_week,
+                   (w.week - f.cohort_week) AS week_offset
+            FROM w JOIN first f ON w.user_id = f.user_id),
+    size AS (SELECT cohort_week, count(*) AS cohort_users
+             FROM first GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS active_users,
+           s.cohort_users,
+           round(count(*)::DOUBLE / s.cohort_users, 4) AS retention
+    FROM act a JOIN size s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_users
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort table: users grouped by first-active
+    week, tracked by distinct activity in each subsequent week, with
+    the retention share against the cohort's size — the
+    triangle-shaped table every growth dashboard renders, and the
+    evaluation twin of recrawl freshness (a host cohort's 'retention'
+    is its re-fetch hit rate). Week boundaries are integer arithmetic
+    on epoch seconds from a fixed origin — no calendar functions, so
+    both engines bin identically and the result is timezone-free.
+
+    Plan shape: week projection, one user-keyed min (cohort
+    assignment), a distinct on (user, offset) — map-side combinable —
+    then a cohort-keyed agg joined to the cohort-size table
+    (weeks-universe-sized, broadcast at any scale). All corpus-sized
+    exchanges key on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    week = (
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit(_EPOCH0).cast("timestamp"))
+        )
+        / _WEEK_S
+    ).cast("int")
+    w = ev.select("user_id", week.alias("week"))
+    first = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        w.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_users"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
+    "triangle_count_hosts",
+    f"""
+    WITH e0 AS ({_LINK_EDGE_SQL}),
+    he AS (SELECT DISTINCT least(src_host, 'h' || (dst % {N_LINK_HOSTS})::VARCHAR) AS a,
+                  greatest(src_host, 'h' || (dst % {N_LINK_HOSTS})::VARCHAR) AS b
+           FROM e0
+           WHERE src_host <> 'h' || (dst % {N_LINK_HOSTS})::VARCHAR),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM he e1
+            JOIN he e2 ON e1.b = e2.a
+            JOIN he e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT host, count(*) AS n_triangles FROM (
+      SELECT x AS host FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    GROUP BY host
+    """,
+)
+def triangle_count_hosts(spark, sf_dir):
+    """Triangle counting on the host graph — the standard distributed
+    graph kernel (clustering-coefficient numerator): per host, how
+    many closed triples it participates in. Dense triangle
+    neighborhoods distinguish organic topical clusters from link-farm
+    stars (farms have huge degree but star topology ~ zero triangles
+    — the degree table of host_degree_stats can't see that
+    difference; triangles can). Edges are canonicalized a<b so each
+    triangle is generated exactly once as x<y<z, then each corner is
+    credited.
+
+    Plan shape: the classic two-path + closing-edge join — two
+    host-keyed equi joins over the DEDUPLICATED host-edge table
+    (always orders smaller than the page graph), one union + hash agg
+    for corner credit. The a<b orientation is the textbook trick that
+    stops double counting AND bounds the join fan-out (each wedge
+    generated once). At web scale the orientation is by degree, which
+    this canonical ordering approximates on the fixture's near-uniform
+    degrees; 0 CartesianProduct (plan-pinned)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e0 = _link_edges(docs).select(
+        "src_host",
+        F.concat(F.lit("h"), (F.col("dst") % N_LINK_HOSTS).cast("string")).alias(
+            "dst_host"
+        ),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    he = (
+        e0.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # three consumers of the edge set
+    )
+    e1 = he.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = he.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = he.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("host"))
+        .unionAll(tri.select(F.col("y").alias("host")))
+        .unionAll(tri.select(F.col("z").alias("host")))
+    )
+    return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))

@@ -70,6 +70,12 @@ SHAPES = [
     ("source_relative_quality", 1, True),
     # agreement table's plan + the 1-row four-count fold
     ("dedup_tier_kappa", 4, True),
+    # K=3 user-keyed step aggregates + the distinct-user spine joins
+    ("funnel_conversion", 6, True),
+    # cohort assignment + (user, offset) distinct + cohort agg
+    ("retention_cohorts", 5, True),
+    # dedup'd host-edge table checkpointed; wedge+closing joins reuse it
+    ("triangle_count_hosts", 1, True),
 ]
 
 

@@ -135,6 +135,9 @@ def test_batch13_oracles_at_driver_scale(spark):
         "user_engagement_ewma",
         "source_relative_quality",
         "dedup_tier_kappa",
+        "funnel_conversion",
+        "retention_cohorts",
+        "triangle_count_hosts",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -365,3 +368,82 @@ def test_dedup_tier_kappa_identities(spark):
     # the tiers are hierarchical on this corpus (exact => simhash-near),
     # so agreement must beat chance
     assert r["yn"] == 0 and k > 0
+
+
+def test_funnel_conversion_ordering(spark):
+    from crunchy_spark.queries import FUNNEL_STEPS
+
+    rows = QUERIES["funnel_conversion"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    users = {e["user_id"] for e in ev}
+    assert {r["user_id"] for r in rows} == users
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    for r in rows:
+        # chain is strictly ordered and prefix-complete
+        ts = [r["t1"], r["t2"], r["t3"]]
+        reached = r["reached_step"]
+        assert all(t is not None for t in ts[:reached])
+        assert all(t is None for t in ts[reached:])
+        for a, b in zip(ts, ts[1:]):
+            if a is not None and b is not None:
+                assert a < b
+        # greedy semantics recomputed per user
+        es = sorted(by_user[r["user_id"]], key=lambda e: e["ts"])
+        t_prev, k = None, 0
+        for step in FUNNEL_STEPS:
+            nxt = min(
+                (e["ts"] for e in es
+                 if e["event_type"] == step
+                 and (t_prev is None or e["ts"] > t_prev)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            t_prev, k = nxt, k + 1
+        assert r["reached_step"] == k
+    # all funnel depths are represented in the fixture
+    assert {r["reached_step"] for r in rows} >= {3}
+
+
+def test_retention_cohorts_shape(spark):
+    rows = QUERIES["retention_cohorts"](spark, SF).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append(r)
+        assert 0 <= r["week_offset"] <= 5  # 30-day fixture span
+        assert 0 < r["active_users"] <= r["cohort_users"]
+        assert abs(r["retention"] - round(r["active_users"] / r["cohort_users"], 4)) < 1e-4
+    for cw, crows in by_cohort.items():
+        crows.sort(key=lambda r: r["week_offset"])
+        # offset 0 is the cohort itself: retention exactly 1.0
+        assert crows[0]["week_offset"] == 0
+        assert crows[0]["active_users"] == crows[0]["cohort_users"]
+    # cohort sizes sum to the distinct user universe
+    n_users = spark.read.parquet(f"{SF}/events.parquet").select("user_id").distinct().count()
+    assert sum(c[0]["cohort_users"] for c in by_cohort.values()) == n_users
+
+
+def test_triangle_count_brute_force(spark):
+    from itertools import combinations
+
+    from crunchy_spark.queries import N_LINK_HOSTS, _link_edges
+
+    rows = {r["host"]: r["n_triangles"]
+            for r in QUERIES["triangle_count_hosts"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edges = set()
+    for e in _link_edges(docs).collect():
+        a, b = e["src_host"], f"h{e['dst'] % N_LINK_HOSTS}"
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nodes = sorted({n for ab in edges for n in ab})
+    brute = defaultdict(int)
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in edges and (y, z) in edges and (x, z) in edges):
+            for h in (x, y, z):
+                brute[h] += 1
+    assert rows == dict(brute)
+    assert sum(rows.values()) % 3 == 0 and sum(rows.values()) > 0
