@@ -135,6 +135,8 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "triangle_count_hosts",
+    "weighted_sample_aes",
+    "mix_rebalance_sample",
 ]
 
 

@@ -9672,3 +9672,128 @@ def triangle_count_hosts(spark, sf_dir):
         .unionAll(tri.select(F.col("z").alias("host")))
     )
     return corners.groupBy("host").agg(F.count("*").alias("n_triangles"))
+
+
+# Efraimidis-Spirakis weighted sampling: rank on ln(u)/w where u is a
+# deterministic hash-uniform in (0,1) and w is the doc's quality score —
+# the k largest keys ARE a weighted-without-replacement sample.
+AES_SAMPLE_K = 25
+
+
+@register(
+    "weighted_sample_aes",
+    f"""
+    WITH q AS ({{QSCORE_SQL}}),
+    u AS (SELECT doc_id,
+                 ({_MD5_INT_SQL.format(c="doc_id::VARCHAR")} + 1)
+                   / 1152921504606846977.0 AS unif
+          FROM documents),
+    k AS (SELECT q.doc_id, q.qscore, u.unif,
+                 ln(u.unif) / greatest(q.qscore, 0.0001) AS key
+          FROM q JOIN u ON q.doc_id = u.doc_id),
+    r AS (SELECT doc_id, qscore, round(key, 6) AS sample_key,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, qscore, sample_key, rk
+    FROM r WHERE rk <= {AES_SAMPLE_K}
+    """.replace("{QSCORE_SQL}", ORACLES["quality_score"]),
+)
+def weighted_sample_aes(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme (keys u^(1/w), taken here in the
+    numerically-safer log form ln(u)/w) with the uniform u derived from
+    a hash instead of an RNG — each doc's inclusion probability is
+    proportional to its quality score, yet the sample is a pure
+    function of the corpus (reproducible across runs, clusters, and
+    engines — the property that makes a quality-weighted training
+    subsample auditable). This is the weighted complement of
+    eval_holdout_sample's uniform bottom-k: holdouts must be unbiased,
+    training subsamples usually want quality bias.
+
+    Plan shape: score projection + hash-uniform projection joined on
+    doc_id, then ONE top-K — the rank filter over a global ORDER
+    compiles to TakeOrderedAndProject via InferWindowGroupLimit
+    semantics at the filter (per-partition top-K + driver merge of K
+    rows, never a global sort). At 100 TB the K rows are the only
+    thing that leaves the executors."""
+    q = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "qscore")
+    u = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            (_md5_int(F.col("doc_id").cast("string")) + 1)
+            / F.lit(1152921504606846977.0)
+        ).alias("unif"),
+    )
+    k = q.join(u, "doc_id").select(
+        "doc_id",
+        "qscore",
+        (F.log("unif") / F.greatest(F.col("qscore"), F.lit(0.0001))).alias("key"),
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        k.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= AES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "qscore",
+            F.round("key", 6).alias("sample_key"),
+            "rk",
+        )
+    )
+
+
+MIX_SAMPLE_TOTAL = 60  # docs drawn for the rebalanced mix manifest
+
+
+@register(
+    "mix_rebalance_sample",
+    f"""
+    WITH mix AS ({{MIX_SQL}}),
+    quota AS (SELECT lang,
+                     floor({MIX_SAMPLE_TOTAL} * weight)::BIGINT AS take
+              FROM mix),
+    fp AS (SELECT doc_id, lang, {_CONTENT_FP_SQL} AS content_fp
+           FROM documents),
+    rep AS (SELECT lang, content_fp, min(doc_id) AS doc_id
+            FROM fp GROUP BY lang, content_fp),
+    rk AS (SELECT lang, doc_id, content_fp,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY content_fp) AS rk
+           FROM rep)
+    SELECT r.lang, r.doc_id, r.rk, q.take
+    FROM rk r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.take
+    """.replace("{MIX_SQL}", ORACLES["corpus_mix_temperature"]),
+)
+def mix_rebalance_sample(spark, sf_dir):
+    """The ARTIFACT corpus_mix_temperature's quotas exist for: the
+    actual rebalanced document manifest — per language, the
+    temperature-derived share of a {MIX_SAMPLE_TOTAL}-doc mix, drawn
+    by the bottom-k-by-content-hash rule (eval_holdout_sample's
+    mechanics), so the draw is deterministic, dedup-safe, and coherent
+    as the corpus grows. Composes corpus_mix_temperature's oracle SQL
+    verbatim for the quota — the manifest cannot drift from the mixing
+    policy it implements (the curation_keep_list discipline, applied
+    to sampling).
+
+    Plan shape: the quota table is language-sized (broadcast); the
+    draw is the holdout's plan — dedup agg + lang-keyed
+    WindowGroupLimit rank — with a quota join instead of a constant K.
+    Nothing corpus-sized after the first agg."""
+    mix = QUERIES["corpus_mix_temperature"](spark, sf_dir).select(
+        "lang", F.floor(MIX_SAMPLE_TOTAL * F.col("weight")).alias("take")
+    )
+    d = _t(spark, sf_dir, "documents")
+    fp = _md5_int(F.array_join(F.array_sort(_toks_col()), " "))
+    rep = (
+        d.select("doc_id", "lang", fp.alias("content_fp"))
+        .groupBy("lang", "content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    w = Window.partitionBy("lang").orderBy("content_fp")
+    return (
+        rep.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(mix), "lang")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("lang", "doc_id", "rk", "take")
+    )

@@ -76,6 +76,11 @@ SHAPES = [
     ("retention_cohorts", 5, True),
     # dedup'd host-edge table checkpointed; wedge+closing joins reuse it
     ("triangle_count_hosts", 1, True),
+    # global top-K compiles to TakeOrderedAndProject — zero exchanges
+    ("weighted_sample_aes", 0, True),
+    # holdout mechanics + quota join (column-valued K: no WGL rewrite,
+    # but the rank window stays lang-keyed)
+    ("mix_rebalance_sample", 4, True),
 ]
 
 

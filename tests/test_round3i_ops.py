@@ -138,6 +138,8 @@ def test_batch13_oracles_at_driver_scale(spark):
         "funnel_conversion",
         "retention_cohorts",
         "triangle_count_hosts",
+        "weighted_sample_aes",
+        "mix_rebalance_sample",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -447,3 +449,64 @@ def test_triangle_count_brute_force(spark):
                 brute[h] += 1
     assert rows == dict(brute)
     assert sum(rows.values()) % 3 == 0 and sum(rows.values()) > 0
+
+
+def test_weighted_sample_aes_bias_and_determinism(spark):
+    from crunchy_spark.queries import AES_SAMPLE_K
+
+    rows = QUERIES["weighted_sample_aes"](spark, SF).collect()
+    assert len(rows) == AES_SAMPLE_K
+    assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+        range(1, AES_SAMPLE_K + 1)
+    )
+    keys = [r["sample_key"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert keys == sorted(keys, reverse=True)  # rank consistent with key
+    assert all(k <= 0 for k in keys)  # ln(u)/w is always negative
+    # determinism: a second run returns the identical sample
+    again = QUERIES["weighted_sample_aes"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # exact semantics: the sample IS the top-K by ln(u)/w recomputed
+    # from scratch (hashes + scores), ties by doc_id
+    import hashlib
+
+    qs = {r["doc_id"]: r["qscore"]
+          for r in QUERIES["quality_score"](spark, SF).collect()}
+    keys = {}
+    for doc_id, q in qs.items():
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / 1152921504606846977.0
+        keys[doc_id] = math.log(u) / max(q, 0.0001)
+    want = sorted(qs, key=lambda d: (-keys[d], d))[: AES_SAMPLE_K]
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert got == want
+    for r in rows:
+        assert abs(r["sample_key"] - keys[r["doc_id"]]) < 1e-5
+
+
+def test_mix_rebalance_sample_respects_quota(spark):
+    from crunchy_spark.queries import MIX_SAMPLE_TOTAL
+
+    rows = QUERIES["mix_rebalance_sample"](spark, SF).collect()
+    mix = {r["lang"]: r for r in QUERIES["corpus_mix_temperature"](spark, SF).collect()}
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, lrows in by_lang.items():
+        take = int(MIX_SAMPLE_TOTAL * mix[lang]["weight"])
+        assert all(r["take"] == take for r in lrows)
+        assert len(lrows) == min(take, len(lrows))
+        assert len(lrows) <= take
+        ranks = sorted(r["rk"] for r in lrows)
+        assert ranks == list(range(1, len(lrows) + 1))
+    # sqrt-temperature upweights low-resource langs: every lang present
+    assert set(by_lang) == set(mix)
+    # the draw equals the holdout mechanics: a prefix of the holdout
+    hold = defaultdict(list)
+    for r in QUERIES["eval_holdout_sample"](spark, SF).collect():
+        hold[r["lang"]].append(r)
+    for lang, lrows in by_lang.items():
+        hrows = sorted(hold[lang], key=lambda r: r["rk"])
+        ids = [r["doc_id"] for r in sorted(lrows, key=lambda r: r["rk"])]
+        hold_ids = [r["doc_id"] for r in hrows]
+        k = min(len(ids), len(hold_ids))
+        assert ids[:k] == hold_ids[:k]
