@@ -137,6 +137,7 @@ HEADLINE = [
     "triangle_count_hosts",
     "weighted_sample_aes",
     "mix_rebalance_sample",
+    "value_equidepth_buckets",
 ]
 
 

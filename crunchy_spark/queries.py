@@ -9797,3 +9797,66 @@ def mix_rebalance_sample(spark, sf_dir):
         .filter(F.col("rk") <= F.col("take"))
         .select("lang", "doc_id", "rk", "take")
     )
+
+
+EQUIDEPTH_K = 10  # equi-depth buckets (each holds ~n/K rows by construction)
+
+
+@register(
+    "value_equidepth_buckets",
+    f"""
+    WITH r AS (SELECT value,
+                      ntile({EQUIDEPTH_K}) OVER (ORDER BY value, event_id)
+                        AS bucket
+               FROM events)
+    SELECT bucket, count(*) AS n_rows,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM r GROUP BY bucket
+    """,
+)
+def value_equidepth_buckets(spark, sf_dir):
+    """Equi-depth (equal-height) histogram of the value column: K
+    buckets holding ~n/K rows each, with their boundary values — the
+    histogram query optimizers and skew monitors actually want
+    (equi-WIDTH bins lie under skew; equi-depth boundaries ARE the
+    quantiles). The DuckDB oracle is plain ntile(); the Spark side
+    must produce ntile's exact assignment WITHOUT the single-partition
+    global sort ntile implies — so it reuses the engine's census
+    machinery (frontier.global_fifo_rank: range-repartition parallel
+    sort + per-partition offsets from an n_parts-row census) and then
+    computes ntile's bucket arithmetic from the global rank in closed
+    form: the first n %% K buckets hold ceil(n/K), the rest floor(n/K)
+    — integer-exact, so the hash-match proves the parallel rank equals
+    the serial window.
+
+    Plan shape: one range exchange (the parallel total sort) + one
+    hash agg on the K-row bucket key; no SinglePartition exchange
+    anywhere (plan-pinned) — the same property the SURT index and the
+    shard packers rely on, evidenced here against a window-function
+    oracle."""
+    from .frontier import global_fifo_rank
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_fifo_rank(ev, ("value", "event_id"), "rk")
+    n = ranked.count()
+    big = n % EQUIDEPTH_K  # buckets 1..big hold (n // K + 1) rows
+    size_big = n // EQUIDEPTH_K + 1
+    size_small = n // EQUIDEPTH_K
+    cut = big * size_big
+    bucket = F.when(
+        F.col("rk") <= cut,
+        ((F.col("rk") - 1) / size_big).cast("long") + 1,
+    ).otherwise(
+        ((F.col("rk") - 1 - cut) / F.lit(max(size_small, 1))).cast("long")
+        + big
+        + 1
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

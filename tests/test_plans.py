@@ -81,6 +81,9 @@ SHAPES = [
     # holdout mechanics + quota join (column-valued K: no WGL rewrite,
     # but the rank window stays lang-keyed)
     ("mix_rebalance_sample", 4, True),
+    # census offsets + K-row bucket agg; the range exchange lives in
+    # the checkpointed rank subtree (no SinglePartition anywhere)
+    ("value_equidepth_buckets", 2, True),
 ]
 
 

@@ -140,6 +140,7 @@ def test_batch13_oracles_at_driver_scale(spark):
         "triangle_count_hosts",
         "weighted_sample_aes",
         "mix_rebalance_sample",
+        "value_equidepth_buckets",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
 
@@ -510,3 +511,36 @@ def test_mix_rebalance_sample_respects_quota(spark):
         hold_ids = [r["doc_id"] for r in hrows]
         k = min(len(ids), len(hold_ids))
         assert ids[:k] == hold_ids[:k]
+
+
+def test_value_equidepth_buckets_depth_and_order(spark):
+    from crunchy_spark.queries import EQUIDEPTH_K
+
+    rows = sorted(
+        QUERIES["value_equidepth_buckets"](spark, SF).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert [r["bucket"] for r in rows] == list(range(1, EQUIDEPTH_K + 1))
+    assert sum(r["n_rows"] for r in rows) == n
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equal depth within 1 row
+    # ntile puts the bigger buckets first
+    assert sizes == sorted(sizes, reverse=True)
+    # boundaries are monotone: bucket i's hi <= bucket i+1's lo (ties ok)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] + 1e-9
+        assert a["lo"] <= a["hi"]
+
+
+def test_equidepth_no_single_partition_exchange(spark):
+    plan = (
+        QUERIES["value_equidepth_buckets"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the parallel total sort lives in global_fifo_rank's checkpointed
+    # subtree; what matters here is that NO stage after it (or anywhere
+    # visible) funnels through a single partition
+    assert "Exchange SinglePartition" not in plan, plan
