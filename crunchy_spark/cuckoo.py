@@ -43,6 +43,17 @@ Reference analog: the same vestigial dupefilter + Mongo existence
 checks bloom.py cites (rabbitmq/dupefilter.py:35-44,
 similar_companies.py:49-68); this variant adds the TTL-evict path the
 reference performs implicitly by nightly Mongo TTL indexes.
+
+At 10^10 keys the filter is ~15 GB of fingerprints. insert_keys /
+delete_keys rewrite only TOUCHED buckets as DataFrames, but a
+persisted filter must match that: store the bucket rows partitioned
+by bucket RANGE (one file per range) and replace only the touched
+files on commit — the Iceberg rewrite_data_files discipline the
+snapshot store applies to the frontier. The bloom's append-only LSM
+segments avoid that machinery at the cost of probe-walking a segment
+list and compaction debt; which trade wins depends on whether the
+workload ever deletes. This module is the delete-capable option; the
+engine ships with the bloom default.
 """
 
 from __future__ import annotations
