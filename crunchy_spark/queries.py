@@ -2723,7 +2723,7 @@ RECRAWL_MAX_S = 2_592_000  # 30 days: cap for never-changing pages
                - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
              CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
       FROM o GROUP BY 1)
-    SELECT page_id, n_obs, n_changes,
+    SELECT page_id, n_obs, n_changes::BIGINT AS n_changes,
            CASE WHEN n_changes > 0
                 THEN least(greatest(
                        CAST(floor(span_s::DOUBLE / n_changes) AS BIGINT),
@@ -4781,7 +4781,8 @@ BUDGET_TOTAL = 100_000  # fetch slots per round to split across hosts
                  {BUDGET_TOTAL} - sum(floor_alloc) OVER () AS leftover
           FROM base)
     SELECT host, score_c,
-           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+           (floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc
     FROM r
     """,
 )
@@ -6517,7 +6518,7 @@ BIGRAM_OUTLIER = -7.0  # mean ln p below this flags a doc as gibberish
                     + {1 - BIGRAM_LAMBDA} * (ufr.ufreq / tot.n_total)) AS lp
           FROM tfb JOIN bfr USING (w1, w2) JOIN ctx USING (w1)
                    JOIN ufr ON tfb.w2 = ufr.tok CROSS JOIN tot)
-    SELECT doc_id, sum(tfb) AS n_bigrams,
+    SELECT doc_id, sum(tfb)::BIGINT AS n_bigrams,
            round(sum(tfb * lp) / sum(tfb), 4) AS avg_logprob,
            (round(sum(tfb * lp) / sum(tfb), 4) < {BIGRAM_OUTLIER}) AS is_outlier
     FROM s GROUP BY doc_id
@@ -6972,7 +6973,8 @@ WARC_SHARD_BUDGET = 131_072  # stored payload bytes per archive shard
           FROM b),
     s AS (SELECT *, (cum_before // {WARC_SHARD_BUDGET})::BIGINT AS shard_id FROM c)
     SELECT image_id, fmt, shard_id,
-           cum_before - min(cum_before) OVER (PARTITION BY fmt, shard_id) AS offset,
+           (cum_before - min(cum_before) OVER (PARTITION BY fmt, shard_id))::BIGINT
+             AS offset,
            length
     FROM s
     """,
@@ -7303,7 +7305,8 @@ IP_BUDGET = 720  # fetch slots per IP per round (politeness_schedule's 720/host)
                  give - sum(floor_alloc) OVER (PARTITION BY ip) AS leftover
           FROM f)
     SELECT host, ip, n_hosts_on_ip, pending,
-           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+           (floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc
     FROM r
     """,
 )
