@@ -155,7 +155,9 @@ def probe_cuckoo(
     c = _with_slots(candidates, m_buckets)  # keeps all candidate columns
     f1 = filt.select(F.col("bucket").alias("b1"), F.col("fps").alias("_f1"))
     f2 = filt.select(F.col("bucket").alias("b2"), F.col("fps").alias("_f2"))
-    ovf = overflow.select("sha_int").withColumn("_ovf", F.lit(True))
+    # distinct: a sha duplicated in the stash (double-insert, merged
+    # round deltas) must not fan candidate rows out through the join
+    ovf = overflow.select("sha_int").distinct().withColumn("_ovf", F.lit(True))
     j = (
         c.join(f1, "b1", "left")
         .join(f2, "b2", "left")
@@ -184,11 +186,22 @@ def delete_keys(
     XOR displacement, so all instances of that fp serving those keys
     live in its two buckets — then each pair drains min(bucket)-first
     and only the touched buckets are rewritten. Overflow keys delete by
-    exact sha anti-join. Deleting a key never inserted is undefined
-    (cuckoo-filter contract; it may evict a colliding key's
+    exact sha anti-join. Deletion is SET-semantic (del_keys is
+    de-duplicated): the engine's committed seen set is unique by sha,
+    and a duplicated delete row must not drain a second fingerprint
+    that belongs to a colliding key. Deleting a key never inserted is
+    undefined (cuckoo-filter contract; it may evict a colliding key's
     fingerprint and raise the OTHER key's false-negative risk — the
     engine only ever deletes keys it committed)."""
-    d = _with_slots(del_keys.select("sha_int"), m_buckets)
+    d0 = del_keys.select("sha_int").distinct()
+    # Split against the overflow stash FIRST: a key whose instance
+    # lives in overflow is removed from overflow ONLY. Routing it into
+    # the bucket-drain math too would drain a fingerprint belonging to
+    # a still-inserted key that shares its (fp, pair) — a false
+    # negative for that key at high load, where overflow is nonempty
+    # and TTL eviction sweeps hit it.
+    ovf_keys = overflow.select("sha_int").distinct()
+    d = _with_slots(d0.join(ovf_keys, "sha_int", "left_anti"), m_buckets)
     pairs = d.select(
         "fp",
         F.least("b1", "b2").alias("bmin"),
@@ -250,9 +263,7 @@ def delete_keys(
         filt.join(touched, "bucket", "left_anti")
         .unionByName(keep_rows)
     )
-    new_overflow = overflow.join(
-        del_keys.select("sha_int"), "sha_int", "left_anti"
-    )
+    new_overflow = overflow.join(d0, "sha_int", "left_anti")
     return new_filt, new_overflow
 
 

@@ -8216,7 +8216,7 @@ def _link_edges(docs_text: DataFrame) -> DataFrame:
     af AS (SELECT dst, anchor, count(*) AS f FROM e GROUP BY dst, anchor),
     top AS (SELECT dst, anchor, f,
                    row_number() OVER (PARTITION BY dst
-                                      ORDER BY f DESC, anchor) AS r
+                                      ORDER BY f DESC, anchor NULLS LAST) AS r
             FROM af)
     SELECT p.dst AS doc_id, p.n_inlinks, p.n_src_hosts, p.n_anchors,
            t.anchor AS top_anchor, t.f AS top_anchor_freq
@@ -8253,7 +8253,10 @@ def anchor_text_agg(spark, sf_dir):
         F.countDistinct("anchor").alias("n_anchors"),
     )
     af = e.groupBy("dst", "anchor").agg(F.count("*").alias("f"))
-    w = Window.partitionBy("dst").orderBy(F.desc("f"), F.asc("anchor"))
+    # NULLS LAST explicitly on BOTH sides: docs shorter than the link
+    # fanout produce NULL anchors, and Spark's asc default (NULLS
+    # FIRST) disagrees with DuckDB's (NULLS LAST) on freq ties
+    w = Window.partitionBy("dst").orderBy(F.desc("f"), F.asc_nulls_last("anchor"))
     top = af.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
     return per.join(top, "dst").select(
         F.col("dst").alias("doc_id"),

@@ -218,3 +218,77 @@ def test_drop_in_for_bloom_in_scheduling_pipeline(spark):
     b = via_cuckoo.select("sha_int", "seq").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_delete_at_high_load_with_nonempty_overflow(spark):
+    """ADVICE r3 regression: at high load the overflow stash is
+    NONEMPTY, and a TTL sweep that deletes overflow-resident keys must
+    remove them from the stash ONLY — not also drain a bucket
+    fingerprint from a colliding still-inserted key. The earlier code
+    routed every delete through the bucket-drain math, so an
+    overflow-resident delete double-deleted: its stash row AND one
+    (fp, pair) instance belonging to some other key -> false negative.
+    """
+    m, slots = 64, SLOTS_PER_BUCKET  # capacity 1024
+    keys = _keys(spark, 1400).localCheckpoint()  # ~1.37 load -> big stash
+    filt, ovf = build_cuckoo(keys, m_buckets=m, slots=slots)
+    filt, ovf = filt.localCheckpoint(), ovf.localCheckpoint()
+    n_ovf = ovf.count()
+    assert n_ovf > 0  # the regime the regression lives in
+    # delete EXACTLY the overflow-resident keys
+    nf, no = delete_keys(filt, ovf, ovf, m_buckets=m)
+    nf, no = nf.localCheckpoint(), no.localCheckpoint()
+    assert no.count() == 0
+    # exact instance accounting: buckets untouched, stash emptied
+    total = nf.select(F.sum(F.size("fps"))).first()[0]
+    assert total == 1400 - n_ovf
+    # zero false negatives for every still-inserted key
+    remaining = keys.join(ovf, "sha_int", "left_anti")
+    assert probe_cuckoo(remaining, nf, no, m_buckets=m).filter(
+        ~F.col("_maybe_seen")
+    ).count() == 0
+    # mixed sweep: half stash keys + some bucket keys, same invariants
+    filt2, ovf2 = build_cuckoo(keys, m_buckets=m, slots=slots)
+    filt2, ovf2 = filt2.localCheckpoint(), ovf2.localCheckpoint()
+    sweep = ovf2.limit(n_ovf // 2).unionByName(
+        keys.join(ovf2, "sha_int", "left_anti").limit(100)
+    ).localCheckpoint()
+    nf2, no2 = delete_keys(filt2, ovf2, sweep, m_buckets=m)
+    nf2, no2 = nf2.localCheckpoint(), no2.localCheckpoint()
+    total2 = nf2.select(F.sum(F.size("fps"))).first()[0] + no2.count()
+    assert total2 == 1400 - sweep.count()
+    remaining2 = keys.join(sweep, "sha_int", "left_anti")
+    assert probe_cuckoo(remaining2, nf2, no2, m_buckets=m).filter(
+        ~F.col("_maybe_seen")
+    ).count() == 0
+
+
+def test_delete_duplicate_rows_set_semantic(spark, built):
+    """Duplicate delete rows (same sha twice in one sweep) drain ONE
+    fingerprint instance, not two — a second drain would evict a
+    colliding key's fingerprint (ADVICE r3)."""
+    keys, filt, ovf = built
+    dels = keys.limit(200)
+    dup_dels = dels.unionByName(dels).localCheckpoint()  # every key twice
+    nf, no = delete_keys(filt, ovf, dup_dels)
+    nf, no = nf.localCheckpoint(), no.localCheckpoint()
+    total = nf.select(F.sum(F.size("fps"))).first()[0] + no.count()
+    assert total == N_KEYS - 200
+    remaining = keys.join(dels, "sha_int", "left_anti")
+    assert probe_cuckoo(remaining, nf, no).filter(
+        ~F.col("_maybe_seen")
+    ).count() == 0
+
+
+def test_probe_with_duplicated_overflow_rows(spark, built):
+    """A sha duplicated in the overflow stash (double-insert / merged
+    round deltas) must not fan candidate rows out through the probe's
+    overflow join (ADVICE r3)."""
+    keys, filt, ovf = built
+    dup_ovf = ovf.unionByName(ovf).unionByName(
+        keys.limit(50).select("sha_int")
+    ).localCheckpoint()
+    cands = keys.limit(500).withColumn("payload", F.col("sha_int") % 97)
+    probed = probe_cuckoo(cands, filt, dup_ovf)
+    assert probed.count() == 500  # one output row per candidate row
+    assert probed.filter(~F.col("_maybe_seen")).count() == 0
