@@ -73,7 +73,7 @@ def stream_seed_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
 ):
-    """Streaming seed ingestion: watch a directory of seed parquet files
+    """Streaming seed ingestion from a file source: watch a directory of seed parquet files
     (the RabbitMQ-producer analog, api/views.py:19-42), canonicalize +
     fingerprint each micro-batch, dedup WITHIN a batch via a seq-ordered
     window and ACROSS batches through the engine's snapshot pattern — an
@@ -92,6 +92,26 @@ def stream_seed_ingest(
     already-committed epoch is skipped outright. The state store lives
     in out_dir/_seen_state ('_'-prefixed: invisible to parquet readers
     of the sink)."""
+    reader = (
+        spark.readStream.schema(SEED_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_dir)
+    )
+    return (
+        reader.writeStream.foreachBatch(make_seed_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_seed_sink(out_dir: str):
+    """The exactly-once seed-ingest micro-batch sink, shared by every
+    seed source (file directory, Kafka): canonicalize + fingerprint,
+    in-batch first-arrival dedup, bloom+exact cross-batch dedup, epoch
+    subdirectory sink (idempotent overwrite) then state commit — the
+    semantics documented on stream_seed_ingest. Extracting it as a
+    factory is what makes S13 a SOURCE swap, not a reimplementation."""
     import os
 
     from .bloom import adaptive_m_bits, build_bloom, filter_unseen
@@ -147,15 +167,51 @@ def stream_seed_ingest(
             # nothing new: just advance the epoch watermark
             store.commit(meta={"epoch": epoch_id})
 
-    reader = (
-        spark.readStream.schema(SEED_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(in_dir)
+    return sink_batch
+
+
+def kafka_seed_frame(raw: DataFrame) -> DataFrame:
+    """Kafka records -> the SEED_STREAM_SCHEMA frame the seed sink
+    consumes: value bytes decode through the same JSON-or-bare-URL
+    parser as every queue message (S4), and seq — the in-batch
+    first-arrival tiebreak — derives from (partition, offset), which is
+    the arrival order Kafka itself defines (offsets are unique and
+    monotonic per partition; 2^40 offsets per partition of headroom)."""
+    decoded = decode_seed_messages(
+        raw.select(
+            F.col("value").cast("string").alias("value"),
+            "partition",
+            "offset",
+        )
     )
+    return decoded.select(
+        "url",
+        "entry_point",
+        (F.col("partition").cast("long") * F.lit(1 << 40) + F.col("offset")).alias(
+            "seq"
+        ),
+    )
+
+
+def stream_kafka_seed_ingest(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """S13 runtime path: Kafka topic -> the SAME exactly-once seed sink
+    as stream_seed_ingest (reference kafka/consumer.py:40-83 manual-ack
+    loop; here checkpointed offsets + idempotent epoch overwrite + state
+    commit last). Returns None when the spark-sql-kafka jar is absent
+    (this image), exactly like read_kafka_items."""
+    raw = read_kafka_items(spark, bootstrap, topic)
+    if raw is None:
+        return None
     return (
-        reader.writeStream.foreachBatch(sink_batch)
+        kafka_seed_frame(raw)
+        .writeStream.foreachBatch(make_seed_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
         .start()
     )
 

@@ -364,3 +364,123 @@ def test_stream_fetch_log_exactly_once_and_incremental(
         final[(r["host"], r["status"])] = r["n"]
     batch_counts = Counter((r["host"], r["status"]) for r in batch_rows2)
     assert final == dict(batch_counts)
+
+
+# ---------------------------------------------------------------------------
+# S13 Kafka runtime path (VERDICT r3 item 7): the source-swap seam.
+# kafka_seed_frame + make_seed_sink are testable TODAY without the jar;
+# the reader/e2e tests gate on jar / broker presence.
+# ---------------------------------------------------------------------------
+def _kafka_shaped(spark, rows):
+    """(value bytes, partition, offset) rows shaped like Kafka records."""
+    return spark.createDataFrame(
+        [(bytearray(v), p, o) for v, p, o in rows],
+        schema="value binary, partition int, offset long",
+    )
+
+
+def test_kafka_seed_frame_decodes_and_orders(spark):
+    """The Kafka->seed projection: JSON bodies parse, bare URLs fall
+    through, seq is (partition << 40) | offset — unique and
+    arrival-ordered per partition. Pure column logic, no jar needed."""
+    raw = _kafka_shaped(
+        spark,
+        [
+            (
+                b'{"url": "https://crunchbase.com/organization/a",'
+                b' "entry_point": "cb", "priority": 2.0}',
+                0,
+                7,
+            ),
+            (b"https://tracxn.com/d/companies/b/__c", 1, 0),
+            (b"not json not url", 0, 8),
+        ],
+    )
+    out = streaming.kafka_seed_frame(raw)
+    assert out.columns == ["url", "entry_point", "seq"]
+    got = {r["url"]: (r["entry_point"], r["seq"]) for r in out.collect()}
+    assert got["https://crunchbase.com/organization/a"] == ("cb", 7)
+    assert got["https://tracxn.com/d/companies/b/__c"] == (None, (1 << 40))
+    assert got["not json not url"] == (None, 8)  # discarded downstream (P1)
+
+
+def test_make_seed_sink_exactly_once_replay(spark, tmp_path):
+    """The shared sink is idempotent under epoch replay — the crash
+    window between sink write and state commit (exactly what a Kafka
+    checkpoint replay after failure produces)."""
+    out_dir = str(tmp_path / "out")
+    sink = streaming.make_seed_sink(out_dir)
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://crunchbase.com/organization/a",
+                    "https://crunchbase.com/organization/a/",  # in-batch dup
+                    "https://tracxn.com/d/companies/b/__c",
+                ],
+                "entry_point": [None, None, "tracxn"],
+                "seq": [0, 1, 2],
+            }
+        ),
+        schema=SEED_STREAM_SCHEMA,
+    )
+    sink(b1, 0)
+    assert spark.read.parquet(out_dir).count() == 2
+    sink(b1, 0)  # replayed epoch: committed watermark makes it a no-op
+    assert spark.read.parquet(out_dir).count() == 2
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://WWW.crunchbase.com/organization/a?utm=x",  # seen
+                    "https://tracxn.com/d/companies/new/__d",
+                ],
+                "entry_point": [None, None],
+                "seq": [3, 4],
+            }
+        ),
+        schema=SEED_STREAM_SCHEMA,
+    )
+    sink(b2, 1)
+    assert spark.read.parquet(out_dir).count() == 3
+    sink(b2, 1)  # replay of epoch 1 too
+    assert spark.read.parquet(out_dir).count() == 3
+
+
+def _kafka_jar_present(spark):
+    return streaming.read_kafka_items(spark, "localhost:9092", "t") is not None
+
+
+def test_kafka_reader_wiring(spark, tmp_path):
+    """With the spark-sql-kafka jar: the reader constructs a streaming
+    frame and the full wiring composes it with the shared sink (no
+    broker contact happens before .start()). Skipped in this image."""
+    if not _kafka_jar_present(spark):
+        pytest.skip("spark-sql-kafka jar absent (expected in this image)")
+    raw = streaming.read_kafka_items(spark, "localhost:9092", "seeds")
+    assert raw.isStreaming
+    assert {"value", "partition", "offset"} <= set(raw.columns)
+    assert streaming.kafka_seed_frame(raw).columns == ["url", "entry_point", "seq"]
+
+
+def test_kafka_seed_ingest_end_to_end(spark, tmp_path):
+    """Against a real broker (KAFKA_BOOTSTRAP env): produce seed
+    messages, run stream_kafka_seed_ingest, assert the deduped sink and
+    exactly-once epoch state. Skipped without jar + broker."""
+    import os
+
+    if not _kafka_jar_present(spark):
+        pytest.skip("spark-sql-kafka jar absent (expected in this image)")
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no KAFKA_BOOTSTRAP broker configured")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = streaming.stream_kafka_seed_ingest(
+        spark, bootstrap, "crunchy-seeds", out_dir, ckpt
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    seen = spark.read.parquet(out_dir)
+    assert seen.select("sha_int").distinct().count() == seen.count()
