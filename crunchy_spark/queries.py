@@ -453,12 +453,13 @@ def _synth_url_col():
 )
 def url_canonicalize(spark, sf_dir):
     """D6/D7: RFC-3986-flavored canonicalization via the engine's
-    vectorized pandas UDF (TracxnDataParser.py:146-176, discovery.py:122-131);
-    oracle mirrors the semantics in pure SQL."""
-    from .urlnorm import canonicalize_udf
+    Arrow-native UDF (TracxnDataParser.py:146-176, discovery.py:122-131;
+    flavor bake-off in BENCH_CANON.md); oracle mirrors the semantics in
+    pure SQL."""
+    from .urlnorm import canonicalize_arrow_udf
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", _synth_url_col().alias("url"))
-    return c.withColumn("url_canon", canonicalize_udf(F.col("url")))
+    return c.withColumn("url_canon", canonicalize_arrow_udf(F.col("url")))
 
 
 @register(
@@ -473,10 +474,10 @@ def url_canonicalize(spark, sf_dir):
 def url_fingerprint(spark, sf_dir):
     """F19/D1: fingerprint over canonical URL as int64 partition key
     (dupefilter.py:35-44; engine path uses SHA-1, oracle-compatible md5 here)."""
-    from .urlnorm import canonicalize_udf
+    from .urlnorm import canonicalize_arrow_udf
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", _synth_url_col().alias("url"))
-    c = c.withColumn("url_canon", canonicalize_udf(F.col("url")))
+    c = c.withColumn("url_canon", canonicalize_arrow_udf(F.col("url")))
     return c.select("c_custkey", "url_canon", _md5_int(F.col("url_canon")).alias("fp"))
 
 
@@ -1955,12 +1956,12 @@ def phash_hamming_neardup(spark, sf_dir):
     """,
 )
 def crawl_schedule_dedup(spark, sf_dir):
-    """THE flagship slice: seed URLs -> canonicalize (vectorized pandas
+    """THE flagship slice: seed URLs -> canonicalize (Arrow-native
     UDF) -> fingerprint -> first-arrival dedup -> per-host politeness
     ranking -> fetchable set. One Catalyst plan, no per-row Python outside
     the Arrow-vectorized canonicalizer (north_rule). Full loop with
     snapshots lives in loop.py; parity in tests/test_parity.py."""
-    from .urlnorm import canonicalize_udf
+    from .urlnorm import canonicalize_arrow_udf
 
     o = _t(spark, sf_dir, "orders")
     noise = F.element_at(
@@ -1974,7 +1975,7 @@ def crawl_schedule_dedup(spark, sf_dir):
         (F.col("o_orderkey") % 3000).cast("string"), noise,
     )
     seeds = o.select(F.col("o_orderkey").alias("seq"), url.alias("url"))
-    cn = seeds.withColumn("url_canon", canonicalize_udf(F.col("url")))
+    cn = seeds.withColumn("url_canon", canonicalize_arrow_udf(F.col("url")))
     fp = cn.select(
         "seq",
         "url_canon",
