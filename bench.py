@@ -138,6 +138,8 @@ HEADLINE = [
     "weighted_sample_aes",
     "mix_rebalance_sample",
     "value_equidepth_buckets",
+    # round 4: AIMD politeness controller (JVM higher-order fold)
+    "adaptive_crawl_delay",
 ]
 
 

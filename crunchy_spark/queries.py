@@ -9867,3 +9867,101 @@ def value_equidepth_buckets(spark, sf_dir):
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+AIMD_DELAY0 = 5.0  # reference DOWNLOAD_DELAY (settings.py:122-130)
+AIMD_CAP = 60.0  # never slower than one fetch per minute
+AIMD_FLOOR = 1.0  # never faster than 1 req/s
+AIMD_UP = 2.0  # multiplicative increase of delay on failure
+AIMD_DOWN = 0.9  # gentle decrease on success
+N_AIMD_HOSTS = 40
+AIMD_FAIL_MOD = 7  # deterministic outcome: fail when o_orderkey % 7 == 0
+
+
+@register(
+    "adaptive_crawl_delay",
+    f"""
+    WITH o AS (SELECT 'h' || (o_custkey % {N_AIMD_HOSTS})::VARCHAR AS host,
+                      o_orderkey,
+                      CASE WHEN o_orderkey % {AIMD_FAIL_MOD} = 0
+                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS fail
+               FROM orders),
+    h AS (SELECT host,
+                 list(fail ORDER BY o_orderkey) AS outcomes,
+                 count(*) AS n_rounds,
+                 CAST(sum(fail) AS BIGINT) AS n_fails
+          FROM o GROUP BY host)
+    SELECT host, n_rounds, n_fails,
+           round(list_reduce(list_prepend({AIMD_DELAY0}::DOUBLE, outcomes),
+                 (acc, x) -> CASE WHEN x = 1.0
+                      THEN least({AIMD_CAP}::DOUBLE, acc * {AIMD_UP}::DOUBLE)
+                      ELSE greatest({AIMD_FLOOR}::DOUBLE,
+                                    acc * {AIMD_DOWN}::DOUBLE) END),
+                 4) AS delay_s,
+           CAST(floor(3600.0 / round(list_reduce(
+                 list_prepend({AIMD_DELAY0}::DOUBLE, outcomes),
+                 (acc, x) -> CASE WHEN x = 1.0
+                      THEN least({AIMD_CAP}::DOUBLE, acc * {AIMD_UP}::DOUBLE)
+                      ELSE greatest({AIMD_FLOOR}::DOUBLE,
+                                    acc * {AIMD_DOWN}::DOUBLE) END),
+                 4)) AS BIGINT) AS next_round_budget
+    FROM h
+    """,
+)
+def adaptive_crawl_delay(spark, sf_dir):
+    """AIMD politeness controller as a DATA fold: each host's fetch
+    history (deterministic stand-in outcomes over orders) folds into
+    its next crawl delay — delay doubles on a failure (the 429/timeout
+    reaction every polite crawler implements), decays by {AIMD_DOWN} on
+    success, clamped to [{AIMD_FLOOR}, {AIMD_CAP}]s — and the resulting
+    per-host budget is exactly what select_fetchable's policy join
+    consumes next round. The reference pins DOWNLOAD_DELAY=5 statically
+    (settings.py:122-130) and Scrapy's AutoThrottle does this
+    reactively in-process; here the controller is a set-at-a-time
+    operator over the fetch log.
+
+    Engine shape: the fold is SEQUENTIAL per host but the plan never
+    leaves the JVM — collect the host's outcome flags into an ordered
+    array (one map-side-combinable agg; history per host is
+    round-bounded, the same cardinality argument as politeness
+    budgets) and fold with F.aggregate (Catalyst higher-order
+    function, whole-stage codegen; clamp steps compose associatively,
+    so at 10^10-round scale the same fold runs as a segmented
+    prefix-scan — each segment folds its own (shift, lo, hi) triple
+    and triples compose, the textbook clamp-monoid). Cross-engine
+    float determinism: both engines fold the identical IEEE doubles in
+    the identical order (*{AIMD_UP}, *{AIMD_DOWN}, min/max), so the
+    4dp-rounded delay is bit-stable; the oracle's list_reduce has no
+    init parameter in DuckDB 1.0, so the seed {AIMD_DELAY0} rides as a
+    prepended first element — outcome flags are 0/1, never {AIMD_DELAY0},
+    so the encoding is unambiguous."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % N_AIMD_HOSTS).cast("string")).alias(
+            "host"
+        ),
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % AIMD_FAIL_MOD == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("fail"),
+    )
+    h = o.groupBy("host").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderkey", "fail"))
+        ).alias("_hist"),
+        F.count("*").alias("n_rounds"),
+        F.sum("fail").cast("long").alias("n_fails"),
+    )
+    fold = F.expr(
+        f"aggregate(transform(_hist, s -> s.fail), CAST({AIMD_DELAY0} AS DOUBLE),"
+        f" (acc, x) -> CASE WHEN x = 1.0D"
+        f" THEN least(CAST({AIMD_CAP} AS DOUBLE), acc * {AIMD_UP}D)"
+        f" ELSE greatest(CAST({AIMD_FLOOR} AS DOUBLE), acc * {AIMD_DOWN}D) END)"
+    )
+    delay = F.round(fold, 4)
+    return h.select(
+        "host",
+        "n_rounds",
+        "n_fails",
+        delay.alias("delay_s"),
+        F.floor(F.lit(3600.0) / delay).cast("long").alias("next_round_budget"),
+    )

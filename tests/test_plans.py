@@ -84,6 +84,9 @@ SHAPES = [
     # census offsets + K-row bucket agg; the range exchange lives in
     # the checkpointed rank subtree (no SinglePartition anywhere)
     ("value_equidepth_buckets", 2, True),
+    # ONE host-keyed agg collects ordered outcome arrays; the AIMD fold
+    # is a Catalyst higher-order aggregate() — no Python stage, no join
+    ("adaptive_crawl_delay", 1, True),
 ]
 
 
