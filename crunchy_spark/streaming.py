@@ -274,6 +274,60 @@ def host_health_stream(fetch_results: DataFrame):
     )
 
 
+# Streaming twin of queries.adaptive_crawl_delay: the SAME AIMD fold
+# (x2 on failure, x0.9 on success, clamp [1, 60]s), carried as keyed
+# state across micro-batches instead of re-folded from history. The
+# batch operator is the backfill/audit form; this is the live
+# controller a standing crawl actually runs. Constants are imported by
+# the test from queries.py so the two can never drift.
+HOST_DELAY_OUTPUT = "host string, delay_s double, next_round_budget long"
+HOST_DELAY_STATE = "delay double"
+
+
+def host_delay_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update: AIMD politeness delay per host.
+
+    Rows fold in ``seq`` order WITHIN the batch (micro-batch input
+    order is not guaranteed) so a replay of the same batch produces
+    the identical delay — the determinism the batch twin's oracle
+    pins. The inner loop is per-OUTCOME, not per-row-of-corpus: a
+    micro-batch carries one row per fetch attempt per host, bounded by
+    the politeness budget itself."""
+    (delay,) = state.get if state.exists else (5.0,)
+    for pdf in pdfs:
+        for fail in pdf.sort_values("seq")["fail"]:
+            if bool(fail):
+                delay = min(60.0, delay * 2.0)
+            else:
+                delay = max(1.0, delay * 0.9)
+    state.update((delay,))
+    yield pd.DataFrame(
+        [
+            {
+                "host": key[0],
+                "delay_s": round(delay, 4),
+                "next_round_budget": int(3600.0 // round(delay, 4)),
+            }
+        ]
+    )
+
+
+def host_delay_stream(fetch_results: DataFrame):
+    """Keyed stateful stream: (host, seq, fail) outcomes -> live AIMD
+    crawl delays (the streaming form of adaptive_crawl_delay)."""
+    return fetch_results.groupBy("host").applyInPandasWithState(
+        host_delay_fn,
+        outputStructType=HOST_DELAY_OUTPUT,
+        stateStructType=HOST_DELAY_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 # ---------------------------------------------------------------------------
 # T3': the streaming ROUND loop — the reference's long-running consumer
 # (rabbitmq/spiders.py:14-16 run-forever spider, scheduler.py:164-169

@@ -484,3 +484,67 @@ def test_kafka_seed_ingest_end_to_end(spark, tmp_path):
         q.stop()
     seen = spark.read.parquet(out_dir)
     assert seen.select("sha_int").distinct().count() == seen.count()
+
+
+def test_host_delay_stream_matches_batch_twin(spark, tmp_path):
+    """The live AIMD controller (host_delay_stream) must land on the
+    SAME per-host delay as the batch operator adaptive_crawl_delay
+    when fed the same outcome history — fold constants imported from
+    one place, history split across two micro-batches to prove the
+    state carries."""
+    from pyspark.sql import functions as F
+
+    from crunchy_spark.queries import (
+        AIMD_FAIL_MOD,
+        N_AIMD_HOSTS,
+        QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r["host"]: (r["delay_s"], r["next_round_budget"])
+        for r in QUERIES["adaptive_crawl_delay"](spark, sf_dir).collect()
+    }
+    # the identical outcome derivation the batch op registers
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % N_AIMD_HOSTS).cast("string")
+            ).alias("host"),
+            F.col("o_orderkey").alias("seq"),
+            (F.col("o_orderkey") % AIMD_FAIL_MOD == 0).alias("fail"),
+        )
+    )
+    med = o.approxQuantile("seq", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1): state must
+    # carry the fold across the batch boundary
+    o.filter(F.col("seq") <= med).coalesce(1).write.parquet(f"{src}/b1")
+    o.filter(F.col("seq") > med).coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema("host string, seq long, fail boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming.host_delay_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("aimd_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM aimd_stream"
+    ).collect()
+    # last update per host wins
+    final = {}
+    for r in rows:
+        final[r["host"]] = (r["delay_s"], r["next_round_budget"])
+    assert set(final) == set(batch)
+    mismatches = {
+        h: (final[h], batch[h]) for h in batch if final[h] != batch[h]
+    }
+    assert not mismatches, mismatches
