@@ -9474,7 +9474,10 @@ FUNNEL_STEPS = ("view", "click", "purchase")
            WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
            GROUP BY e.user_id),
     u AS (SELECT DISTINCT user_id FROM events)
-    SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+    SELECT u.user_id,
+           CAST(floor(epoch(s1.t1)) AS BIGINT) AS t1,
+           CAST(floor(epoch(s2.t2)) AS BIGINT) AS t2,
+           CAST(floor(epoch(s3.t3)) AS BIGINT) AS t3,
            (CASE WHEN s3.t3 IS NOT NULL THEN 3
                  WHEN s2.t2 IS NOT NULL THEN 2
                  WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END) AS reached_step
@@ -9526,11 +9529,14 @@ def funnel_conversion(spark, sf_dir):
         .join(s2, "user_id", "left")
         .join(s3, "user_id", "left")
     )
+    # epoch-seconds output per the module convention (header: timestamps
+    # compared as epoch seconds, TZ-proof) — raw TIMESTAMP columns render
+    # tz-aware in one engine and naive in the other on Arrow fetch paths
     return j.select(
         "user_id",
-        "t1",
-        "t2",
-        "t3",
+        F.unix_timestamp("t1").alias("t1"),
+        F.unix_timestamp("t2").alias("t2"),
+        F.unix_timestamp("t3").alias("t3"),
         F.when(F.col("t3").isNotNull(), 3)
         .when(F.col("t2").isNotNull(), 2)
         .when(F.col("t1").isNotNull(), 1)
