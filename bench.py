@@ -138,8 +138,10 @@ HEADLINE = [
     "weighted_sample_aes",
     "mix_rebalance_sample",
     "value_equidepth_buckets",
-    # round 4: AIMD politeness controller (JVM higher-order fold)
+    # round 4: AIMD politeness controller (JVM higher-order fold) and
+    # the discovery-side capstone (robots x freshness x politeness)
     "adaptive_crawl_delay",
+    "discovery_round_plan",
 ]
 
 

@@ -9971,3 +9971,94 @@ def adaptive_crawl_delay(spark, sf_dir):
         delay.alias("delay_s"),
         F.floor(F.lit(3600.0) / delay).cast("long").alias("next_round_budget"),
     )
+
+
+DISCOVERY_ROUND_S = 3600.0  # one logical discovery round
+DISCOVERY_DEFAULT_DELAY = 5.0  # reference DOWNLOAD_DELAY for unlisted hosts
+DISCOVERY_MAX_BUDGET = 3600  # plan-time cap (1s min delay) for the WGL rewrite
+
+
+@register(
+    "discovery_round_plan",
+    f"""
+    WITH rp AS ({{ROBOTS_SQL}}),
+    ep AS ({{ETAG_SQL}}),
+    need AS (SELECT url, lastmod, action,
+                    string_split(url, '/')[3] AS host
+             FROM ep WHERE action <> 'skip'),
+    b AS (SELECT n.*,
+                 CASE WHEN coalesce(rp.robots_allow, TRUE)
+                      THEN CAST(floor({DISCOVERY_ROUND_S}
+                           / greatest(coalesce(rp.crawl_delay_s,
+                                      {DISCOVERY_DEFAULT_DELAY}), 1.0))
+                           AS BIGINT)
+                      ELSE 0 END AS host_budget
+          FROM need n LEFT JOIN rp ON n.host = rp.host),
+    r AS (SELECT *, row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY lastmod DESC NULLS LAST, url) AS fetch_rank
+          FROM b)
+    SELECT host, url, action, fetch_rank, host_budget
+    FROM r WHERE fetch_rank <= host_budget
+    """.replace("{ROBOTS_SQL}", ORACLES["robots_policy"]).replace(
+        "{ETAG_SQL}", ORACLES["etag_revalidate_plan"]
+    ),
+)
+def discovery_round_plan(spark, sf_dir):
+    """THE discovery capstone: the per-host fetch list for the next
+    round, composed from the three discovery-side operators — robots
+    policy (per-host crawl-delay budget + disallow), sitemap freshness
+    (via etag_revalidate_plan's fetch_full / conditional_get / skip
+    classes), and politeness (freshest-first rank cut at the host's
+    round budget). Disallowed hosts get budget 0; hosts absent from
+    robots default to the reference's DOWNLOAD_DELAY=5s. This is the
+    discovery-side twin of frontier_next_fetch (which ranks by LINK
+    evidence; this ranks by FRESHNESS evidence), and like every other
+    capstone its constituents' oracle SQL is composed verbatim so the
+    plan can never drift from its parts.
+
+    Plan shape: ONE exchange total (measured) — the fetch-needing rows
+    (a skip-pruned projection of the sitemap table) join the
+    HOST-sized robots policy broadcast, and the only window is
+    host-keyed over fetch-needing URLs. The {DISCOVERY_MAX_BUDGET}
+    literal rides the rank filter, but it sits above the default
+    windowGroupLimitThreshold (1000) so the WGL rewrite does NOT fire
+    here — acceptable because the window's input is already
+    skip-pruned to the changed slice (at 10^10 URLs the overwhelming
+    majority never reaches the shuffle); a deployment whose per-host
+    changed slice is itself skewed would raise the threshold or route
+    through select_fetchable's salted path."""
+    rp = QUERIES["robots_policy"](spark, sf_dir)
+    ep = QUERIES["etag_revalidate_plan"](spark, sf_dir)
+    need = ep.filter(F.col("action") != "skip").withColumn(
+        "host",
+        F.substring_index(F.substring_index(F.col("url"), "//", -1), "/", 1),
+    )
+    # crawl-delay 0 means "no delay" in robots.txt; clamp at 1s so the
+    # budget is finite and bounded by the plan-time literal
+    budget = F.when(
+        F.coalesce(F.col("robots_allow"), F.lit(True)),
+        F.floor(
+            F.lit(DISCOVERY_ROUND_S)
+            / F.greatest(
+                F.coalesce(
+                    F.col("crawl_delay_s"), F.lit(DISCOVERY_DEFAULT_DELAY)
+                ),
+                F.lit(1.0),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    b = need.join(F.broadcast(rp), "host", "left").withColumn(
+        "host_budget", budget
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc_nulls_last("lastmod"), F.asc("url")
+    )
+    return (
+        b.withColumn("fetch_rank", F.row_number().over(w))
+        .filter(
+            (F.col("fetch_rank") <= F.lit(DISCOVERY_MAX_BUDGET))
+            & (F.col("fetch_rank") <= F.col("host_budget"))
+        )
+        .select("host", "url", "action", "fetch_rank", "host_budget")
+    )

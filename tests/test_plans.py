@@ -87,6 +87,9 @@ SHAPES = [
     # ONE host-keyed agg collects ordered outcome arrays; the AIMD fold
     # is a Catalyst higher-order aggregate() — no Python stage, no join
     ("adaptive_crawl_delay", 1, True),
+    # skip-pruned sitemap rows + broadcast robots policy + ONE host
+    # window — a single exchange end to end (capstone composition)
+    ("discovery_round_plan", 1, True),
 ]
 
 
