@@ -21,9 +21,15 @@ Design (and why it is faithful Iceberg, not a re-emulation):
   — performed LAST. The append is the commit point (Iceberg appends
   are atomic); a crash before it leaves orphan snapshots that the next
   `expire_snapshots` collects, exactly the SnapshotStore crash
-  contract. Readers resolve a version by looking up its snapshot ids
-  in the commit log and reading each table `VERSION AS OF` that id —
-  snapshot isolation across tables.
+  contract. Each commit writes the FULL table state of its version
+  (changed tables plus carried-forward rows for unchanged ones), so
+  ``manifest(v)`` is a pure ``version == v`` scan — exactly the
+  one-manifest-file-per-version shape of SnapshotStore, and the reason
+  ``rollback`` (re-append version v's rows as the new head) discards
+  later delta segments instead of accumulating them. Readers resolve a
+  version by looking up its snapshot ids in the commit log and reading
+  each table pinned at that snapshot — snapshot isolation across
+  tables.
 - **Merge-on-read deltas stay the ENGINE's discipline** (bloom LSM
   segments, frontier status-flip deltas with equality-delete
   semantics in loop.py): each delta append tags its rows with a
@@ -50,6 +56,66 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def rows_to_manifest(rows: list[Any], v: int) -> dict[str, Any]:
+    """Pure half of ``manifest()``: fold one version's commit-log rows
+    (dict-like: version/table_name/snapshot_id/segment/row_count/meta)
+    into the SnapshotStore-shaped manifest dict. Module-level so the
+    jar-free tests can pin the overwrite/append/rollback lifecycle
+    without an Iceberg catalog."""
+    tables: dict[str, list[str]] = {}
+    seg_rows: dict[str, int] = {}
+    snap_of: dict[str, int] = {}
+    meta: dict[str, Any] = {}
+    # segment tags sort oldest-first lexicographically (zero-padded
+    # version prefix; 'base' < 'delta' within a version)
+    for r in sorted(rows, key=lambda r: (r["table_name"], r["segment"])):
+        if r["meta"]:
+            meta = json.loads(r["meta"])
+        if r["table_name"] == "__meta__":
+            continue
+        path = f"{r['table_name']}@{r['segment']}"
+        tables.setdefault(r["table_name"], []).append(path)
+        snap_of[r["table_name"]] = int(r["snapshot_id"])
+        if r["row_count"] is not None:
+            seg_rows[path] = int(r["row_count"])
+    return {
+        "version": v,
+        "tables": tables,
+        "meta": meta,
+        "segment_rows": seg_rows,
+        "snapshot_ids": snap_of,
+    }
+
+
+def carry_forward_state(
+    prev: dict[str, Any],
+    overwrites: list[str],
+    appends: list[str],
+    new_version: int,
+    counts: dict[str, int],
+) -> tuple[dict[str, list[str]], dict[str, int | None]]:
+    """Pure half of ``commit()``: the previous manifest's full state
+    carried forward with this commit's overwrites/appends applied.
+    Returns ({table: [segment tags, oldest first]}, {path: row_count}).
+    An overwrite resets the table to a single ``vNNNNNN-base`` segment;
+    an append adds a ``vNNNNNN-delta`` segment to the carried list."""
+    state: dict[str, list[str]] = {
+        n: [p.split("@", 1)[1] for p in segs]
+        for n, segs in prev["tables"].items()
+    }
+    seg_rows: dict[str, int | None] = dict(prev.get("segment_rows", {}))
+    for name in overwrites:
+        seg = f"v{new_version:06d}-base"
+        state[name] = [seg]
+        seg_rows[f"{name}@{seg}"] = counts.get(name)
+    for name in appends:
+        seg = f"v{new_version:06d}-delta"
+        state.setdefault(name, []).append(seg)
+        seg_rows[f"{name}@{seg}"] = counts.get(name)
+    live = {f"{n}@{s}" for n, segs in state.items() for s in segs}
+    return state, {p: n for p, n in seg_rows.items() if p in live}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -98,41 +164,21 @@ class IcebergSnapshotStore:
         return -1 if row is None or row["v"] is None else int(row["v"])
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
+        """Full table state of ``version`` — a pure ``version == v`` scan
+        (each commit records its complete state, carried-forward rows
+        included), mirroring SnapshotStore's one-manifest-per-version.
+        Path strings are ``table@vNNNNNN-{base|delta}``; a carried-forward
+        segment keeps the identical path string across versions, which the
+        loop's CDC diff (loop.py:254) relies on."""
         v = self.current_version() if version is None else version
         if v < 0:
             return {"version": -1, "tables": {}, "meta": {}}
         rows = (
             self.spark.table(self._tbl("commit_log"))
-            .filter(F.col("version") <= v)
+            .filter(F.col("version") == v)
             .collect()
         )
-        tables: dict[str, list[str]] = {}
-        seg_rows: dict[str, int] = {}
-        snap_of: dict[str, int] = {}
-        meta: dict[str, Any] = {}
-        for r in sorted(rows, key=lambda r: (r["version"], r["segment"])):
-            if r["version"] == v and r["meta"]:
-                meta = json.loads(r["meta"])
-            if r["table_name"] == "__meta__":
-                continue
-            if r["segment"] == "__overwrite__":
-                tables[r["table_name"]] = [f"{r['table_name']}@{r['version']}"]
-            else:
-                tables.setdefault(r["table_name"], []).append(
-                    f"{r['table_name']}@{r['version']}:{r['segment']}"
-                )
-            snap_of[r["table_name"]] = int(r["snapshot_id"])
-            if r["row_count"] is not None:
-                seg_rows[f"{r['table_name']}@{r['version']}:{r['segment']}"] = int(
-                    r["row_count"]
-                )
-        return {
-            "version": v,
-            "tables": tables,
-            "meta": meta,
-            "segment_rows": seg_rows,
-            "snapshot_ids": snap_of,
-        }
+        return rows_to_manifest(rows, v)
 
     # -- public API ----------------------------------------------------------
     def commit(
@@ -142,12 +188,24 @@ class IcebergSnapshotStore:
         appends: dict[str, DataFrame] | None = None,
         row_counts: dict[str, int] | None = None,
     ) -> int:
-        new_version = self.current_version() + 1
+        prev = self.manifest()
+        new_version = prev["version"] + 1
         counts = row_counts or {}
-        log_rows = []
+        # carry the previous version's full state forward, then apply writes
+        state, seg_rows = carry_forward_state(
+            prev, list(tables or {}), list(appends or {}), new_version, counts
+        )
+        snaps: dict[str, int] = dict(prev.get("snapshot_ids", {}))
+        changed: set[str] = set()
         for name, df in (tables or {}).items():
-            df.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
-            log_rows.append((name, "__overwrite__", counts.get(name)))
+            seg = f"v{new_version:06d}-base"
+            # every write carries a _segment column so later delta appends
+            # never hit Iceberg's extra-column schema check, and
+            # load_segments can address the base frame by tag
+            df.withColumn("_segment", F.lit(seg)).writeTo(
+                self._tbl(name)
+            ).using("iceberg").createOrReplace()
+            changed.add(name)
         for name, df in (appends or {}).items():
             seg = f"v{new_version:06d}-delta"
             tagged = df.withColumn("_segment", F.lit(seg))
@@ -155,21 +213,24 @@ class IcebergSnapshotStore:
                 tagged.writeTo(self._tbl(name)).append()
             else:
                 tagged.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
-            log_rows.append((name, seg, counts.get(name)))
+            changed.add(name)
+        meta_json = json.dumps(meta or {})
         entries = []
-        for name, seg, n in log_rows:
-            snap = (
-                self.spark.sql(
-                    f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots"
-                    " ORDER BY committed_at DESC LIMIT 1"
-                ).first()["snapshot_id"]
-            )
-            entries.append(
-                (new_version, name, int(snap), seg, n, json.dumps(meta or {}))
-            )
-        if not entries:  # meta-only commit (epoch watermark)
-            entries = [(new_version, "__meta__", 0, "__meta__", None,
-                        json.dumps(meta or {}))]
+        for name, segs in state.items():
+            if name in changed:
+                snaps[name] = int(
+                    self.spark.sql(
+                        f"SELECT snapshot_id FROM {self._tbl(name)}.snapshots"
+                        " ORDER BY committed_at DESC LIMIT 1"
+                    ).first()["snapshot_id"]
+                )
+            for seg in segs:
+                entries.append(
+                    (new_version, name, snaps[name], seg,
+                     seg_rows.get(f"{name}@{seg}"), meta_json)
+                )
+        if not entries:  # meta-only commit on an empty store
+            entries = [(new_version, "__meta__", 0, "__meta__", None, meta_json)]
         # THE commit point: one atomic fast-append to the commit log
         self.spark.createDataFrame(
             entries,
@@ -196,10 +257,13 @@ class IcebergSnapshotStore:
             raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
         snap = m["snapshot_ids"][name]
         df = spark.read.option("snapshot-id", snap).table(self._tbl(name))
-        segs = [p.split(":", 1)[1] for p in m["tables"][name] if ":" in p]
+        # one frame per manifest path, oldest first, base included —
+        # matching SnapshotStore.load_segments; every committed row
+        # carries _segment (base rows tagged vNNNNNN-base at write)
         return [
-            df.filter(F.col("_segment") == s).drop("_segment") for s in segs
-        ] or [df]
+            df.filter(F.col("_segment") == p.split("@", 1)[1]).drop("_segment")
+            for p in m["tables"][name]
+        ]
 
     def segment_rows(
         self, name: str, version: int | None = None
@@ -218,7 +282,10 @@ class IcebergSnapshotStore:
             raise ValueError(f"no snapshot v{version}")
         # re-append the target version's rows as the new head — history
         # stays linear and auditable (Iceberg's own rollback procedure
-        # works the same way: a new snapshot pointing at old data)
+        # works the same way: a new snapshot pointing at old data).
+        # Because every version's rows are its FULL state, the head
+        # manifest equals v's exactly: delta segments committed after v
+        # are discarded, matching SnapshotStore.rollback.
         head = self.current_version() + 1
         self.spark.sql(
             f"INSERT INTO {self._tbl('commit_log')}"

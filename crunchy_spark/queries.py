@@ -10030,9 +10030,12 @@ def discovery_round_plan(spark, sf_dir):
     through select_fetchable's salted path."""
     rp = QUERIES["robots_policy"](spark, sf_dir)
     ep = QUERIES["etag_revalidate_plan"](spark, sf_dir)
+    # exact twin of the oracle's string_split(url, '/')[3] — the segment
+    # after the FIRST '//' (r4 ADVICE: substring_index(url, '//', -1)
+    # cut at the LAST '//', diverging on URLs with '//' in the path).
+    # F.get is 0-based and NULL-safe out of bounds, like DuckDB's [3].
     need = ep.filter(F.col("action") != "skip").withColumn(
-        "host",
-        F.substring_index(F.substring_index(F.col("url"), "//", -1), "/", 1),
+        "host", F.get(F.split(F.col("url"), "/"), F.lit(2))
     )
     # crawl-delay 0 means "no delay" in robots.txt; clamp at 1s so the
     # budget is finite and bounded by the plan-time literal

@@ -275,13 +275,29 @@ def host_health_stream(fetch_results: DataFrame):
 
 
 # Streaming twin of queries.adaptive_crawl_delay: the SAME AIMD fold
-# (x2 on failure, x0.9 on success, clamp [1, 60]s), carried as keyed
-# state across micro-batches instead of re-folded from history. The
-# batch operator is the backfill/audit form; this is the live
-# controller a standing crawl actually runs. Constants are imported by
-# the test from queries.py so the two can never drift.
+# (AIMD_UP on failure, AIMD_DOWN on success, clamp [FLOOR, CAP]),
+# carried as keyed state across micro-batches instead of re-folded
+# from history. The batch operator is the backfill/audit form; this is
+# the live controller a standing crawl actually runs. The fold
+# constants are IMPORTED from queries.py (inside the function — lazy
+# on workers) so the two genuinely cannot drift.
 HOST_DELAY_OUTPUT = "host string, delay_s double, next_round_budget long"
 HOST_DELAY_STATE = "delay double"
+
+
+def round_half_up(x: float, scale: int = 4) -> float:
+    """Python twin of Spark's ``F.round`` (and DuckDB ``round``):
+    HALF_UP over the shortest decimal repr of the double — Python's
+    built-in ``round`` is HALF_EVEN and diverges on exact 4dp ties
+    (e.g. the AIMD value 5*0.9^5 = 2.95245 → 2.9525 HALF_UP vs 2.9524
+    HALF_EVEN). ``repr(x)`` is the shortest round-trip decimal, the
+    same string Scala's BigDecimal.decimal(double) rounds."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
 
 def host_delay_fn(
@@ -297,20 +313,29 @@ def host_delay_fn(
     pins. The inner loop is per-OUTCOME, not per-row-of-corpus: a
     micro-batch carries one row per fetch attempt per host, bounded by
     the politeness budget itself."""
-    (delay,) = state.get if state.exists else (5.0,)
+    from .queries import (
+        AIMD_CAP,
+        AIMD_DELAY0,
+        AIMD_DOWN,
+        AIMD_FLOOR,
+        AIMD_UP,
+    )
+
+    (delay,) = state.get if state.exists else (AIMD_DELAY0,)
     for pdf in pdfs:
         for fail in pdf.sort_values("seq")["fail"]:
             if bool(fail):
-                delay = min(60.0, delay * 2.0)
+                delay = min(AIMD_CAP, delay * AIMD_UP)
             else:
-                delay = max(1.0, delay * 0.9)
+                delay = max(AIMD_FLOOR, delay * AIMD_DOWN)
     state.update((delay,))
+    delay_4dp = round_half_up(delay)
     yield pd.DataFrame(
         [
             {
                 "host": key[0],
-                "delay_s": round(delay, 4),
-                "next_round_budget": int(3600.0 // round(delay, 4)),
+                "delay_s": delay_4dp,
+                "next_round_budget": int(3600.0 // delay_4dp),
             }
         ]
     )

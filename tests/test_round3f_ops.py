@@ -123,3 +123,32 @@ def test_batch78_oracles_at_driver_scale(spark):
         "lang_confusion",
     ):
         compare(QUERIES[name](spark, sf01), con, ORACLES[name], name)
+
+
+def test_discovery_host_parse_matches_oracle_on_adversarial_urls(spark):
+    """r4 ADVICE queries.py:10035 — the engine's host parse must cut at
+    the FIRST '//' like the oracle's string_split(url, '/')[3], even for
+    URLs with '//' in the path (latent in clean sitemap data)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://a.example.com/sitemap.xml",
+        "https://b.example.com/path//double/slash",
+        "http://c.example.com//leading//everything",
+        "https://d.example.com",
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(F.get(F.split(F.col("url"), "/"), F.lit(2)))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql(f"SELECT string_split('{u}', '/')[3]").fetchone()[0]
+        for u in urls
+    ]
+    assert got == want == [
+        "a.example.com", "b.example.com", "c.example.com", "d.example.com"
+    ]

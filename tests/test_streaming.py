@@ -548,3 +548,40 @@ def test_host_delay_stream_matches_batch_twin(spark, tmp_path):
         h: (final[h], batch[h]) for h in batch if final[h] != batch[h]
     }
     assert not mismatches, mismatches
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """r4 ADVICE streaming.py:304 — Python round() is HALF_EVEN and
+    diverges from F.round (HALF_UP) on exact 4dp ties. round_half_up
+    must track F.round on every AIMD-reachable delay value."""
+    from pyspark.sql import functions as F
+
+    from crunchy_spark.queries import (
+        AIMD_CAP,
+        AIMD_DELAY0,
+        AIMD_DOWN,
+        AIMD_FLOOR,
+        AIMD_UP,
+    )
+    from crunchy_spark.streaming import round_half_up
+
+    # walk the reachable AIMD lattice a few steps deep
+    vals, frontier = set(), {AIMD_DELAY0}
+    for _ in range(12):
+        nxt = set()
+        for d in frontier:
+            nxt.add(min(AIMD_CAP, d * AIMD_UP))
+            nxt.add(max(AIMD_FLOOR, d * AIMD_DOWN))
+        frontier = nxt - vals
+        vals |= nxt
+    vals = sorted(vals)
+    assert any(abs(v - 2.95245) < 1e-9 for v in vals)  # the known tie
+    spark_rounded = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 4))
+        .collect()
+    ]
+    assert [round_half_up(v) for v in vals] == spark_rounded
+    # and the tie itself lands HALF_UP, where builtin round goes HALF_EVEN
+    assert round_half_up(2.95245) == 2.9525
