@@ -114,3 +114,12 @@ def gen_pixels(idx: int, w: int, h: int) -> np.ndarray:
 def _noise_pixels(idx: int, w: int, h: int) -> np.ndarray:
     rng = np.random.default_rng(42 + idx)
     return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def resize_small(arr: np.ndarray, size: int = 16) -> np.ndarray:
+    """Nearest-neighbor downsample to (size, size) via index striding —
+    shared by the image_resize operator and the committed decoded-meta
+    fixture generator so engine and oracle compute identical values."""
+    ys = np.linspace(0, arr.shape[0] - 1, size).astype(int)
+    xs = np.linspace(0, arr.shape[1] - 1, size).astype(int)
+    return arr[np.ix_(ys, xs)]

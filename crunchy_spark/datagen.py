@@ -316,3 +316,71 @@ def fixture_meta(out_dir: str) -> dict[str, int]:
     with open(os.path.join(out_dir, "META.txt")) as f:
         parts = f.read().split()
     return {k: (int(v) if v.isdigit() else v) for k, v in (p.split("=") for p in parts)}
+
+
+def gen_images_decoded_meta_pdf(n: int) -> pd.DataFrame:
+    """Ground-truth decoded metadata for the first ``n`` synthetic
+    images — committed once as fixtures/images_decoded_meta.parquet so
+    the binary decode ops (image_decode_stats / image_resize) carry
+    FULL DuckDB value oracles instead of rows-only checks: the oracle
+    reads this fixture, the engine re-decodes the live bytes, and a
+    hash match proves the decode path reproduces the committed truth
+    (the image_header_sniff pattern, extended to decoded values).
+    Also carries the media_frame_sample columns (every-4th-row frame
+    sampling) so that op oracles against the same fixture."""
+    rows = []
+    for idx in range(n):
+        w, h = image_dims(idx)
+        fmt = "jpeg" if idx % 3 == 0 else "png"
+        data = codec.encode_image(codec.gen_pixels(idx, w, h), fmt)
+        arr, lossless = codec.decode_image(data)
+        small = codec.resize_small(arr)
+        frames = arr[::4]
+        rows.append(
+            {
+                "image_id": f"img{idx:010d}",
+                "fmt": fmt,
+                "mean_px": float(arr.mean()),
+                "psnr_ok": bool(
+                    lossless or codec.psnr(codec.gen_pixels(idx, w, h), arr) >= 40.0
+                ),
+                "out_w": int(small.shape[1]),
+                "out_h": int(small.shape[0]),
+                "out_mean": float(small.mean()),
+                "n_frames": int(arr.shape[0]),
+                "n_sampled": int(frames.shape[0]),
+                "sample_mean": float(frames.mean()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_images_tiles_meta_pdf(n: int) -> pd.DataFrame:
+    """Ground-truth 2x2 tile stats per image (the image_tile_stats
+    decomposition) — committed as fixtures/images_tiles_meta.parquet
+    for that op's full value oracle. The 4dp rounding is Python
+    round() on BOTH sides (fixture generation and live op), so the
+    committed values are bit-identical to the engine's."""
+    rows = []
+    for idx in range(n):
+        w, h = image_dims(idx)
+        fmt = "jpeg" if idx % 3 == 0 else "png"
+        arr, _ = codec.decode_image(
+            codec.encode_image(codec.gen_pixels(idx, w, h), fmt)
+        )
+        hh, ww = arr.shape[0], arr.shape[1]
+        hs, ws = [(0, hh // 2), (hh // 2, hh)], [(0, ww // 2), (ww // 2, ww)]
+        for ti, (y0, y1) in enumerate(hs):
+            for tj, (x0, x1) in enumerate(ws):
+                t = arr[y0:y1, x0:x1]
+                rows.append(
+                    {
+                        "image_id": f"img{idx:010d}",
+                        "tile_id": ti * 2 + tj,
+                        "t_w": int(x1 - x0),
+                        "t_h": int(y1 - y0),
+                        "t_mean": round(float(t.mean()), 4),
+                        "t_std": round(float(t.std()), 4),
+                    }
+                )
+    return pd.DataFrame(rows)

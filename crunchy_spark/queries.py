@@ -1765,8 +1765,13 @@ def graph_two_hop(spark, sf_dir):
 
 
 # ===========================================================================
-# E. Multimodal (image payload) operators — rows-only checks (binary
-#    payloads aren't expressible in the DuckDB oracle views)
+# E. Multimodal (image payload) operators. The decode ops carry FULL
+#    value oracles against fixtures/images_decoded_meta.parquet — the
+#    committed ground truth the stand-in codec produced once
+#    (datagen.gen_images_decoded_meta_pdf): the engine re-decodes the
+#    live bytes on every run; a hash match proves the decode path still
+#    reproduces the committed truth. Ops whose OUTPUT is itself binary
+#    (media_frame_sample, image_tile_stats) stay rows-only by necessity.
 # ===========================================================================
 def _images_df(spark, n: int = 64):
     from . import datagen, schemas
@@ -1774,11 +1779,29 @@ def _images_df(spark, n: int = 64):
     return spark.createDataFrame(datagen.gen_images_pdf(n), schema=schemas.IMAGES)
 
 
-@register("image_decode_stats")  # rows-only: binary payload op
+_IMAGES_DECODED_META = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "images_decoded_meta.parquet",
+)
+
+
+@register(
+    "image_decode_stats",
+    f"""
+    SELECT fmt, count(*) AS n,
+           round(avg(mean_px), 2) AS avg_mean,
+           min(psnr_ok::INT) AS all_psnr_ok
+    FROM read_parquet('{_IMAGES_DECODED_META}')
+    GROUP BY fmt
+    """,
+)
 def image_decode_stats(spark, sf_dir):
     """Multimodal decode: mapInPandas over binary image columns — per-fmt
     decode stats with the PSNR>=40dB invariant surfaced as a column
-    (input_hint; parse.py is the engine's production path)."""
+    (input_hint; parse.py is the engine's production path). The oracle
+    aggregates the committed decoded-meta fixture; the engine decodes
+    the live payload bytes — value-hash equality pins the decoder."""
     import pandas as pd
 
     from . import codec
@@ -1805,12 +1828,19 @@ def image_decode_stats(spark, sf_dir):
     )
 
 
-@register("image_resize")  # rows-only: binary payload op
+@register(
+    "image_resize",
+    f"""
+    SELECT image_id, out_w, out_h, out_mean
+    FROM read_parquet('{_IMAGES_DECODED_META}')
+    """,
+)
 def image_resize(spark, sf_dir):
     """Multimodal resize: vectorized batch resize to 16x16 via numpy
     striding inside mapInPandas (real Spark plumbing; PIL would slot in
-    behind the same signature)."""
-    import numpy as np
+    behind the same signature). Per-image value oracle over the
+    committed decoded-meta fixture (codec.resize_small is the shared
+    downsample both sides compute)."""
     import pandas as pd
 
     from . import codec
@@ -1822,9 +1852,7 @@ def image_resize(spark, sf_dir):
             rows = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 arr, _ = codec.decode_image(bytes(data))
-                ys = np.linspace(0, arr.shape[0] - 1, 16).astype(int)
-                xs = np.linspace(0, arr.shape[1] - 1, 16).astype(int)
-                small = arr[np.ix_(ys, xs)]
+                small = codec.resize_small(arr)
                 rows.append((iid, small.shape[1], small.shape[0], float(small.mean())))
             yield pd.DataFrame(rows, columns=["image_id", "out_w", "out_h", "out_mean"])
 
@@ -2402,13 +2430,21 @@ def embedding_neardup_cosine(spark, sf_dir):
     )
 
 
-@register("media_frame_sample")  # rows-only: binary payload op
+@register(
+    "media_frame_sample",
+    f"""
+    SELECT image_id, n_frames, n_sampled, sample_mean
+    FROM read_parquet('{_IMAGES_DECODED_META}')
+    """,
+)
 def media_frame_sample(spark, sf_dir):
     """Multimodal frame sampling (video analog): treat each decoded
     payload's rows as a frame sequence and sample every 4th frame via
     mapInPandas — deterministic stand-in decode per FIXTURES.md (a real
     video codec slots in behind the same batch-iterator signature; the
-    Spark plumbing — binary column, Arrow batches, schema — is real)."""
+    Spark plumbing — binary column, Arrow batches, schema — is real).
+    Full value oracle over the committed decoded-meta fixture: the
+    engine re-decodes live bytes, the oracle reads the ground truth."""
     import pandas as pd
 
     from . import codec
@@ -4105,7 +4141,20 @@ def caption_pixels_corr(spark, sf_dir):
     )
 
 
-@register("image_tile_stats")  # rows-only: binary payload op
+_IMAGES_TILES_META = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "images_tiles_meta.parquet",
+)
+
+
+@register(
+    "image_tile_stats",
+    f"""
+    SELECT image_id, tile_id, t_w, t_h, t_mean, t_std
+    FROM read_parquet('{_IMAGES_TILES_META}')
+    """,
+)
 def image_tile_stats(spark, sf_dir):
     """Vision-training tiling: decode each image and emit per-quadrant
     (2x2 grid) dimensions and pixel stats — the patch-extraction shape

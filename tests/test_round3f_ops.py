@@ -152,3 +152,29 @@ def test_discovery_host_parse_matches_oracle_on_adversarial_urls(spark):
     assert got == want == [
         "a.example.com", "b.example.com", "c.example.com", "d.example.com"
     ]
+
+
+def test_images_decoded_meta_fixture_matches_datagen():
+    """fixtures/images_decoded_meta.parquet is exactly
+    gen_images_decoded_meta_pdf(64) — the committed ground truth the
+    image_decode_stats / image_resize oracles read (r4 verdict #2:
+    rows-only binary ops upgraded to full value oracles)."""
+    from crunchy_spark.queries import _IMAGES_DECODED_META
+
+    committed = pq.read_table(_IMAGES_DECODED_META).to_pandas()
+    regen = datagen.gen_images_decoded_meta_pdf(64)
+    assert list(committed.columns) == list(regen.columns)
+    for col in committed.columns:
+        assert committed[col].tolist() == regen[col].tolist(), col
+
+
+def test_images_tiles_meta_fixture_matches_datagen():
+    """fixtures/images_tiles_meta.parquet is exactly
+    gen_images_tiles_meta_pdf(64) — image_tile_stats's oracle input."""
+    from crunchy_spark.queries import _IMAGES_TILES_META
+
+    committed = pq.read_table(_IMAGES_TILES_META).to_pandas()
+    regen = datagen.gen_images_tiles_meta_pdf(64)
+    assert list(committed.columns) == list(regen.columns)
+    for col in committed.columns:
+        assert committed[col].tolist() == regen[col].tolist(), col
