@@ -61,6 +61,14 @@ class CrawlConfig:
     # long-lived crawl otherwise retains every dead frontier base
     # forever). None disables expiry.
     snapshot_keep_last: int | None = 64
+    # opt-in AIMD politeness: fold each round's fetch outcomes into a
+    # per-host delay state (host_delay table) consumed by the NEXT
+    # round's select_fetchable — the live form of the registered
+    # adaptive_crawl_delay operator (the reference pins DOWNLOAD_DELAY=5
+    # statically, settings.py:122-130; Scrapy's AutoThrottle reacts
+    # in-process). Off by default: parity mode must match the
+    # reference's static-delay crawl ordering exactly.
+    adaptive_delay: bool = False
     interested: list[str] = field(default_factory=lambda: list(INTERESTED_INDUSTRIES))
 
 
@@ -341,6 +349,81 @@ class CrawlEngine:
         return raw.groupBy("host").agg(F.sum("n_pending").alias("n_pending"))
 
     # ------------------------------------------------------------------
+    def host_delay_view(self) -> DataFrame:
+        """Per-host AIMD delay state (host, delay_s) — empty until an
+        adaptive round commits. Host-sized, like host_census."""
+        if self.store.has_table("host_delay"):
+            return self.store.load(self.spark, "host_delay")
+        return self.spark.createDataFrame([], "host string, delay_s double")
+
+    def effective_policy(self) -> DataFrame:
+        """The policy select_fetchable consumes this round: the static
+        host_policy, with crawl_delay_s replaced by the AIMD-folded
+        delay for hosts that have state (Config.adaptive_delay). The
+        outer join keeps delay state for hosts the static table never
+        listed (expansion hosts); their max_concurrent coalesces to 1
+        inside select_fetchable."""
+        if not self.conf.adaptive_delay:
+            return self.host_policy
+        d = self.host_delay_view()
+        return (
+            self.host_policy.join(d, "host", "outer")
+            .withColumn(
+                "crawl_delay_s", F.coalesce("delay_s", "crawl_delay_s")
+            )
+            .drop("delay_s")
+        )
+
+    def _fold_host_delay(self, log_new: DataFrame) -> DataFrame:
+        """Next round's host_delay state: THIS round's outcomes folded
+        (in fetch_seq pop order) on top of each host's previous delay
+        via the registered AIMD fold (queries.aimd_fold_expr). Seed for
+        a host's first appearance is its static crawl_delay_s (default
+        AIMD_DELAY0). Incremental by construction — the clamp fold's
+        associativity means seeding from the carried state equals
+        re-folding all history, so per-round cost is O(round + hosts),
+        never O(history). Failure = any non-fetched outcome (deferred
+        is the server pushing back; failed is terminal)."""
+        from .queries import AIMD_DELAY0, aimd_fold_expr
+
+        prev = self.host_delay_view()
+        upd = (
+            log_new.select(
+                "host",
+                "fetch_seq",
+                F.when(F.col("status") != "fetched", F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("fail"),
+            )
+            .groupBy("host")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("fetch_seq", "fail"))
+                ).alias("_hist")
+            )
+        )
+        folded = (
+            upd.join(prev, "host", "left")
+            .join(
+                F.broadcast(self.host_policy.select("host", "crawl_delay_s")),
+                "host",
+                "left",
+            )
+            .withColumn(
+                "_seed",
+                F.coalesce("delay_s", "crawl_delay_s", F.lit(AIMD_DELAY0)),
+            )
+            .select(
+                "host",
+                aimd_fold_expr("_hist", "CAST(_seed AS DOUBLE)").alias(
+                    "delay_s"
+                ),
+            )
+        )
+        untouched = prev.join(upd.select("host"), "host", "left_anti")
+        return untouched.unionByName(folded)
+
+    # ------------------------------------------------------------------
     def run_round(self) -> dict | None:
         """Run one round; returns stats, or None when the frontier is dry."""
         m = self.store.manifest()
@@ -359,9 +442,23 @@ class CrawlEngine:
             self._max_budget = max_host_budget(
                 self.host_policy, self.conf.round_seconds
             )
+            if self.conf.adaptive_delay:
+                # adaptive delays decay to AIMD_FLOOR, so the plan-time
+                # budget literal must cover the floor, not just the
+                # static table's fastest host
+                from .queries import AIMD_FLOOR
+
+                row = self.host_policy.agg(
+                    F.max(F.coalesce(F.col("max_concurrent"), F.lit(1)))
+                ).first()
+                mc = int(row[0]) if row and row[0] is not None else 1
+                self._max_budget = max(
+                    self._max_budget,
+                    int(self.conf.round_seconds // AIMD_FLOOR) * mc,
+                )
         selected = select_fetchable(
             pending,
-            self.host_policy,
+            self.effective_policy(),
             round_seconds=self.conf.round_seconds,
             salt_k=self.conf.salt_k,
             global_budget=self.conf.global_budget,
@@ -507,6 +604,12 @@ class CrawlEngine:
             appends["bloom"] = build_bloom(
                 new_rows, m_bits=adaptive_m_bits(n_new)
             )
+        # AIMD politeness state for NEXT round's effective_policy —
+        # a host-sized overwrite (like host_census on compaction),
+        # folded from this round's log only: O(round + hosts)
+        tables_out: dict[str, DataFrame] = {}
+        if self.conf.adaptive_delay:
+            tables_out["host_delay"] = self._fold_host_delay(log_new)
         n_seg = len(m["tables"]["frontier"])
         if n_seg + 1 > self.conf.compact_every:
             # compaction round: fold frontier deltas into a fresh base
@@ -536,6 +639,7 @@ class CrawlEngine:
                         seen.unionByName(seen_new).select("sha_int"),
                         m_bits=adaptive_m_bits(int(max_seq) + 1),
                     ),
+                    **tables_out,
                 },
                 appends=appends,
                 meta=meta_out,
@@ -546,6 +650,7 @@ class CrawlEngine:
                 self.store.expire_snapshots(self.conf.snapshot_keep_last)
         else:
             self.store.commit(
+                tables=tables_out or None,
                 appends=appends,
                 meta=meta_out,
                 # flipped has one row per selected URL (meta is derived

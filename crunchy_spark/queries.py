@@ -9933,6 +9933,24 @@ N_AIMD_HOSTS = 40
 AIMD_FAIL_MOD = 7  # deterministic outcome: fail when o_orderkey % 7 == 0
 
 
+def aimd_fold_expr(hist: str = "_hist", seed: str | None = None):
+    """THE AIMD politeness fold as a Catalyst higher-order expression —
+    shared by the registered adaptive_crawl_delay operator, the live
+    loop's per-round host_delay state update (loop.py, seeded from each
+    host's previous delay so the fold is incremental, never a
+    re-fold of all history), and mirrored by the streaming twin
+    (streaming.host_delay_fn). ``hist`` names an array<struct> column
+    whose ``fail`` field is 1.0/0.0 in fold order; ``seed`` is a SQL
+    expression for the starting delay (defaults to AIMD_DELAY0)."""
+    s = seed if seed is not None else f"CAST({AIMD_DELAY0} AS DOUBLE)"
+    return F.expr(
+        f"aggregate(transform({hist}, s -> s.fail), {s},"
+        f" (acc, x) -> CASE WHEN x = 1.0D"
+        f" THEN least(CAST({AIMD_CAP} AS DOUBLE), acc * {AIMD_UP}D)"
+        f" ELSE greatest(CAST({AIMD_FLOOR} AS DOUBLE), acc * {AIMD_DOWN}D) END)"
+    )
+
+
 @register(
     "adaptive_crawl_delay",
     f"""
@@ -10006,13 +10024,7 @@ def adaptive_crawl_delay(spark, sf_dir):
         F.count("*").alias("n_rounds"),
         F.sum("fail").cast("long").alias("n_fails"),
     )
-    fold = F.expr(
-        f"aggregate(transform(_hist, s -> s.fail), CAST({AIMD_DELAY0} AS DOUBLE),"
-        f" (acc, x) -> CASE WHEN x = 1.0D"
-        f" THEN least(CAST({AIMD_CAP} AS DOUBLE), acc * {AIMD_UP}D)"
-        f" ELSE greatest(CAST({AIMD_FLOOR} AS DOUBLE), acc * {AIMD_DOWN}D) END)"
-    )
-    delay = F.round(fold, 4)
+    delay = F.round(aimd_fold_expr("_hist"), 4)
     return h.select(
         "host",
         "n_rounds",
@@ -10025,6 +10037,50 @@ def adaptive_crawl_delay(spark, sf_dir):
 DISCOVERY_ROUND_S = 3600.0  # one logical discovery round
 DISCOVERY_DEFAULT_DELAY = 5.0  # reference DOWNLOAD_DELAY for unlisted hosts
 DISCOVERY_MAX_BUDGET = 3600  # plan-time cap (1s min delay) for the WGL rewrite
+
+
+def discovery_fetch_plan(need: DataFrame, rp: DataFrame) -> DataFrame:
+    """Shared core of discovery_round_plan (batch) and
+    streaming.stream_discovery_plan (per-micro-batch): given the
+    fetch-needing rows (url, lastmod, action — skip rows already
+    removed) and the host-sized robots policy, produce the per-host
+    fetch list — robots budget (disallow -> 0; crawl-delay clamped
+    >= 1s over DISCOVERY_ROUND_S), freshest-first rank, cut at the
+    budget. Extracting this as ONE function is what makes the
+    streaming capstone's equality pin possible: both surfaces execute
+    the identical plan, so stream-per-generation == batch by
+    construction, and the test proves it stays that way."""
+    # host = segment after the FIRST '//' — exact twin of the oracle's
+    # string_split(url, '/')[3] (F.get is 0-based, NULL-safe)
+    need = need.withColumn("host", F.get(F.split(F.col("url"), "/"), F.lit(2)))
+    # crawl-delay 0 means "no delay" in robots.txt; clamp at 1s so the
+    # budget is finite and bounded by the plan-time literal
+    budget = F.when(
+        F.coalesce(F.col("robots_allow"), F.lit(True)),
+        F.floor(
+            F.lit(DISCOVERY_ROUND_S)
+            / F.greatest(
+                F.coalesce(
+                    F.col("crawl_delay_s"), F.lit(DISCOVERY_DEFAULT_DELAY)
+                ),
+                F.lit(1.0),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    b = need.join(F.broadcast(rp), "host", "left").withColumn(
+        "host_budget", budget
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc_nulls_last("lastmod"), F.asc("url")
+    )
+    return (
+        b.withColumn("fetch_rank", F.row_number().over(w))
+        .filter(
+            (F.col("fetch_rank") <= F.lit(DISCOVERY_MAX_BUDGET))
+            & (F.col("fetch_rank") <= F.col("host_budget"))
+        )
+        .select("host", "url", "action", "fetch_rank", "host_budget")
+    )
 
 
 @register(
@@ -10079,38 +10135,4 @@ def discovery_round_plan(spark, sf_dir):
     through select_fetchable's salted path."""
     rp = QUERIES["robots_policy"](spark, sf_dir)
     ep = QUERIES["etag_revalidate_plan"](spark, sf_dir)
-    # exact twin of the oracle's string_split(url, '/')[3] — the segment
-    # after the FIRST '//' (r4 ADVICE: substring_index(url, '//', -1)
-    # cut at the LAST '//', diverging on URLs with '//' in the path).
-    # F.get is 0-based and NULL-safe out of bounds, like DuckDB's [3].
-    need = ep.filter(F.col("action") != "skip").withColumn(
-        "host", F.get(F.split(F.col("url"), "/"), F.lit(2))
-    )
-    # crawl-delay 0 means "no delay" in robots.txt; clamp at 1s so the
-    # budget is finite and bounded by the plan-time literal
-    budget = F.when(
-        F.coalesce(F.col("robots_allow"), F.lit(True)),
-        F.floor(
-            F.lit(DISCOVERY_ROUND_S)
-            / F.greatest(
-                F.coalesce(
-                    F.col("crawl_delay_s"), F.lit(DISCOVERY_DEFAULT_DELAY)
-                ),
-                F.lit(1.0),
-            )
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    b = need.join(F.broadcast(rp), "host", "left").withColumn(
-        "host_budget", budget
-    )
-    w = Window.partitionBy("host").orderBy(
-        F.desc_nulls_last("lastmod"), F.asc("url")
-    )
-    return (
-        b.withColumn("fetch_rank", F.row_number().over(w))
-        .filter(
-            (F.col("fetch_rank") <= F.lit(DISCOVERY_MAX_BUDGET))
-            & (F.col("fetch_rank") <= F.col("host_budget"))
-        )
-        .select("host", "url", "action", "fetch_rank", "host_budget")
-    )
+    return discovery_fetch_plan(ep.filter(F.col("action") != "skip"), rp)

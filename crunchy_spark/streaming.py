@@ -639,3 +639,111 @@ def stream_sitemap_poll(
     if available_now:
         stream = stream.trigger(availableNow=True)
     return stream.start()
+
+def stream_discovery_plan(
+    spark: SparkSession,
+    need_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    robots: DataFrame,
+    available_now: bool = True,
+    diff_feed: bool = False,
+):
+    """THE streaming discovery capstone: stream_sitemap_poll's change
+    feed composed with discovery_round_plan's fetch-list core — each
+    micro-batch (one generation of fetch-needing URLs) becomes that
+    generation's per-host fetch list via the SAME
+    queries.discovery_fetch_plan the batch operator executes, so
+    stream output == batch output over identical generations BY
+    CONSTRUCTION (pinned by tests/test_stream_discovery.py).
+
+    Input rows are either etag_revalidate_plan-shaped
+    (url, lastmod, action) or the sitemap poller's diff feed
+    (url, lastmod_cur, action, ...): ``lastmod_cur`` is normalized to
+    ``lastmod``, and skip/tombstone rows drop out (the poller's
+    'fetch' action and the batch plan's fetch_full/conditional_get
+    both survive the filter).
+
+    Exactly-once: each generation's plan lands in an epoch=N
+    subdirectory with overwrite mode — a crash-replayed micro-batch
+    rewrites the identical files (the plan is deterministic in its
+    input), so the sink never double-counts; no state store is needed
+    because the plan carries no cross-generation state (the robots
+    policy is a broadcast dimension, the rank is within-generation).
+
+    Scale shape per micro-batch: one host-keyed window over the
+    generation's changed slice + one broadcast join — identical to the
+    batch plan (ONE exchange, measured in test_plans.py); a standing
+    10^10-URL crawl streams round-sized deltas through it."""
+    import os as _os
+
+    from .queries import discovery_fetch_plan
+
+    robots = robots.localCheckpoint()  # host-sized dim, pinned once
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        need = batch
+        if "lastmod_cur" in need.columns and "lastmod" not in need.columns:
+            need = need.withColumnRenamed("lastmod_cur", "lastmod")
+        keep = need.filter(~F.col("action").isin("skip", "tombstone"))
+        if diff_feed:
+            # plans are keyed by the FEED's generation (epoch column),
+            # not the micro-batch id: a generation's part files may
+            # split across triggers, and the rank cut is only correct
+            # over the whole generation — so the batch is grouped by
+            # source epoch and each group's plan overwrites its own
+            # epoch dir (idempotent on replay AND on re-delivery of a
+            # generation's remaining files: the later write sees the
+            # fuller generation)
+            keep = keep.localCheckpoint()
+            epochs = [r[0] for r in keep.select("epoch").distinct().collect()]
+            for src_epoch in epochs:
+                gen = keep.filter(F.col("epoch") == src_epoch).select(
+                    "url", "lastmod", "action"
+                )
+                discovery_fetch_plan(gen, robots).write.mode(
+                    "overwrite"
+                ).parquet(_os.path.join(out_dir, f"epoch={int(src_epoch)}"))
+            return
+        plan = discovery_fetch_plan(
+            keep.select("url", "lastmod", "action"), robots
+        )
+        plan.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    if diff_feed:
+        # stream_sitemap_poll's change-feed shape (epoch= partition
+        # dirs): lastmod_cur normalizes to lastmod in on_batch
+        schema = T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("lastmod_prev", T.StringType()),
+                T.StructField("lastmod_cur", T.StringType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("action", T.StringType()),
+                T.StructField("epoch", T.LongType()),
+            ]
+        )
+    else:
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("lastmod", T.StringType()),
+                T.StructField("action", T.StringType()),
+            ]
+        )
+    reader = spark.readStream.schema(schema)
+    if not diff_feed:
+        # one need-generation FILE per micro-batch; diff-feed mode
+        # instead takes all available files and groups by source epoch
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = (
+        reader.parquet(need_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
