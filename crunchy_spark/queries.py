@@ -1765,13 +1765,13 @@ def graph_two_hop(spark, sf_dir):
 
 
 # ===========================================================================
-# E. Multimodal (image payload) operators. The decode ops carry FULL
-#    value oracles against fixtures/images_decoded_meta.parquet — the
-#    committed ground truth the stand-in codec produced once
-#    (datagen.gen_images_decoded_meta_pdf): the engine re-decodes the
-#    live bytes on every run; a hash match proves the decode path still
-#    reproduces the committed truth. Ops whose OUTPUT is itself binary
-#    (media_frame_sample, image_tile_stats) stay rows-only by necessity.
+# E. Multimodal (image payload) operators. ALL decode ops carry FULL
+#    value oracles against committed ground-truth fixtures
+#    (images_decoded_meta.parquet for decode/resize/frame-sample,
+#    images_tiles_meta.parquet for tile stats — produced once by the
+#    stand-in codec, datagen.gen_images_*_meta_pdf): the engine
+#    re-decodes the live bytes on every run; a hash match proves the
+#    decode path still reproduces the committed truth.
 # ===========================================================================
 def _images_df(spark, n: int = 64):
     from . import datagen, schemas
