@@ -202,3 +202,53 @@ def test_expansion_host_state_survives_outer_join(spark, unit_fixtures):
     pol = store_less.effective_policy()
     row = pol.filter(F.col("host") == "zz-not-in-policy.example").first()
     assert row is not None and row["crawl_delay_s"] == 17.5
+
+
+def test_stream_crawl_inherits_adaptive_delay(
+    spark, unit_fixtures, tmp_path
+):
+    """The streaming round loop runs the SAME CrawlEngine per
+    micro-batch, so Config.adaptive_delay flows through unchanged: a
+    streamed crawl commits the host_delay state and its delays equal
+    the reference fold over its own fetch log — the live controller
+    works identically on both execution surfaces."""
+    from pyspark.sql import functions as F
+
+    from crunchy_spark import schemas, streaming
+    from crunchy_spark.snapshot import SnapshotStore
+
+    seeds = spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet").filter(
+        F.col("seq") < 80
+    )
+    seed_dir, ckpt = str(tmp_path / "seeds"), str(tmp_path / "ckpt")
+    out_cols = [f.name for f in schemas.SEED.fields]
+    seeds.withColumn("image_id", F.lit(None).cast("string")).select(
+        out_cols
+    ).coalesce(1).write.parquet(f"{seed_dir}/all")
+    store = SnapshotStore(str(tmp_path / "store"))
+    q = streaming.stream_crawl(
+        spark, store, unit_fixtures, seed_dir + "/*", ckpt,
+        conf=CrawlConfig(round_seconds=ROUND_S, adaptive_delay=True),
+    )
+    q.awaitTermination(600)
+    assert store.has_table("host_delay")
+    eng = CrawlEngine(
+        spark, store, unit_fixtures,
+        CrawlConfig(round_seconds=ROUND_S, adaptive_delay=True),
+    )
+    pol = {
+        r["host"]: r["crawl_delay_s"]
+        for r in eng.host_policy.select("host", "crawl_delay_s").collect()
+    }
+    hist: dict[str, list] = {}
+    for r in sorted(
+        store.load(spark, "fetch_log").collect(), key=lambda r: r["fetch_seq"]
+    ):
+        hist.setdefault(r["host"], []).append(r["status"] != "fetched")
+    state = {r["host"]: r["delay_s"] for r in eng.host_delay_view().collect()}
+    assert set(state) == set(hist) and state
+    for host, outcomes in hist.items():
+        seed = pol.get(host) or AIMD_DELAY0
+        assert state[host] == pytest.approx(
+            _reference_fold(outcomes, seed), abs=1e-12
+        ), host
