@@ -13,8 +13,11 @@ Prints one line per query and a FAIL summary; exit 1 on any mismatch.
 --exact compares FULL-repr value multisets instead of the 6dp
 normalization — the strictest check any driver-side hash can be (if
 repr multisets match bitwise, every canonicalization of them matches
-too). Round 4 ran it over all 149 registered queries at sf0.01:
-144 EXACT, 5 rows-only by design, 0 mismatches.
+too). Round 5 ran it over all 150 registered queries at sf0.01:
+149 EXACT (the four binary image ops now oracle against committed
+decoded ground-truth fixtures), 1 rows-only by design
+(approx_distinct_diag — HLL sketch internals differ across engines),
+0 mismatches.
 """
 
 from __future__ import annotations
