@@ -252,3 +252,39 @@ def test_stream_crawl_inherits_adaptive_delay(
         assert state[host] == pytest.approx(
             _reference_fold(outcomes, seed), abs=1e-12
         ), host
+
+
+def test_adaptive_state_survives_resume(spark, unit_fixtures, tmp_path):
+    """North-rule resume with the controller on: a FRESH engine on the
+    same snapshot store (process restart) keeps folding from the
+    committed host_delay state — final delays equal the single-process
+    reference fold over the combined history."""
+    store = SnapshotStore(str(tmp_path / "st"))
+    conf = CrawlConfig(round_seconds=ROUND_S, adaptive_delay=True)
+    eng1 = CrawlEngine(spark, store, unit_fixtures, conf)
+    eng1.bootstrap(
+        spark.read.parquet(f"{unit_fixtures}/frontier_seed.parquet")
+    )
+    eng1.run(max_rounds=2)
+    v_mid = store.current_version()
+
+    eng2 = CrawlEngine(spark, store, unit_fixtures, conf)  # "restart"
+    eng2.run(max_rounds=2)
+    assert store.current_version() > v_mid  # resumed and progressed
+
+    pol = {
+        r["host"]: r["crawl_delay_s"]
+        for r in eng2.host_policy.select("host", "crawl_delay_s").collect()
+    }
+    hist: dict[str, list] = {}
+    for r in sorted(
+        store.load(spark, "fetch_log").collect(), key=lambda r: r["fetch_seq"]
+    ):
+        hist.setdefault(r["host"], []).append(r["status"] != "fetched")
+    state = {r["host"]: r["delay_s"] for r in eng2.host_delay_view().collect()}
+    assert set(state) == set(hist) and state
+    for host, outcomes in hist.items():
+        seed = pol.get(host) or AIMD_DELAY0
+        assert state[host] == pytest.approx(
+            _reference_fold(outcomes, seed), abs=1e-12
+        ), host
